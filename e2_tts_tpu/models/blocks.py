@@ -1,0 +1,373 @@
+"""L3 neural building blocks (flax NNX).
+
+TPU-native re-implementations of the reference blocks (e2_tts.py:295-513)
+plus the x-transformers capabilities the reference imports (SURVEY.md §2c):
+Attention with logit softclamp / LASER / per-head value gates / learned
+value-residual mix, GLU FeedForward, RMSNorm / AdaptiveRMSNorm.
+
+Conventions:
+- params stored in `param_dtype` (default fp32), computation in `dtype`
+  (default: inherit input) — bf16 activations ride the MXU, norms/softmax
+  accumulate in fp32.
+- every dropout-carrying module exposes a `deterministic` attribute so
+  `model.train()` / `model.eval()` toggle it (nnx set_attributes).
+- randomness is explicit: modules draw from their `nnx.Rngs` streams.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from e2_tts_tpu.ops.attention import attention as attention_op
+from e2_tts_tpu.ops.rotary import apply_rotary
+from e2_tts_tpu.utils.helpers import exists, default, divisible_by, round_up_to_multiple
+from e2_tts_tpu.utils.masking import pad_to_length
+from e2_tts_tpu.utils.tensor import masked_interpolate_1d
+
+
+class Buffer(nnx.Variable):
+    """Non-trainable state (reference: register_buffer)."""
+
+
+class Identity(nnx.Module):
+    def __call__(self, x, **kwargs):
+        return x
+
+
+# norms ----------------------------------------------------------------------
+
+class RMSNorm(nnx.Module):
+    """x / ||x|| * sqrt(dim) * g — matches x-transformers RMSNorm semantics."""
+
+    def __init__(self, dim: int, *, param_dtype=jnp.float32, rngs: nnx.Rngs | None = None):
+        self.scale = dim ** 0.5
+        self.gamma = nnx.Param(jnp.ones((dim,), dtype=param_dtype))
+
+    def __call__(self, x, **kwargs):
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.clip((xf * xf).sum(-1, keepdims=True), min=1e-12))
+        return (normed * self.scale * self.gamma.value.astype(jnp.float32)).astype(dtype)
+
+
+class AdaptiveRMSNorm(nnx.Module):
+    """RMSNorm whose gain is (1 + Linear0(condition)) — x-transformers
+    AdaptiveRMSNorm, used for time conditioning (e2_tts.py:615)."""
+
+    def __init__(self, dim: int, dim_condition: int | None = None, *,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.scale = dim ** 0.5
+        dim_condition = default(dim_condition, dim)
+        self.to_gamma = nnx.Linear(
+            dim_condition, dim, use_bias=False,
+            kernel_init=nnx.initializers.zeros_init(),
+            dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+        )
+
+    def __call__(self, x, *, condition):
+        dtype = x.dtype
+        if condition.ndim == 2:
+            condition = condition[:, None, :]
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.clip((xf * xf).sum(-1, keepdims=True), min=1e-12))
+        gamma = self.to_gamma(condition).astype(jnp.float32) + 1.0
+        return (normed * self.scale * gamma).astype(dtype)
+
+
+class AdaLNZero(nnx.Module):
+    """DiT-style post-branch gate: x * sigmoid(Linear(cond)); weight zero-init,
+    bias -2 so the gate starts near 0.12 (reference: e2_tts.py:332-351)."""
+
+    def __init__(self, dim: int, dim_condition: int | None = None,
+                 init_bias_value: float = -2.0, *,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        dim_condition = default(dim_condition, dim)
+        self.to_gamma = nnx.Linear(
+            dim_condition, dim,
+            kernel_init=nnx.initializers.zeros_init(),
+            bias_init=nnx.initializers.constant(init_bias_value),
+            dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+        )
+
+    def __call__(self, x, *, condition):
+        if condition.ndim == 2:
+            condition = condition[:, None, :]
+        gamma = jax.nn.sigmoid(self.to_gamma(condition).astype(jnp.float32))
+        return (x.astype(jnp.float32) * gamma).astype(x.dtype)
+
+
+# fourier embeddings ---------------------------------------------------------
+
+class RandomFourierEmbed(nnx.Module):
+    """Time embedding with fixed random frequencies; output packs
+    (x, sin, cos) into dim+1 features (reference: e2_tts.py:355-364)."""
+
+    def __init__(self, dim: int, *, rngs: nnx.Rngs):
+        assert divisible_by(dim, 2)
+        self.weights = Buffer(jax.random.normal(rngs.params(), (dim // 2,)))
+
+    def __call__(self, x):  # x: (b,)
+        freqs = x[:, None].astype(jnp.float32) * self.weights.value[None, :] * 2 * jnp.pi
+        return jnp.concatenate(
+            (x[:, None].astype(jnp.float32), jnp.sin(freqs), jnp.cos(freqs)), axis=-1)
+
+
+class LinearFourierEmbed(nnx.Module):
+    """FANformer-style pre-attention fourier map (arXiv 2502.21309;
+    reference: e2_tts.py:368-386). Fraction `p` of the output is fouriered."""
+
+    def __init__(self, dim: int, p: float = 0.5, *,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        assert p <= 1.0
+        dim_fourier = int(p * dim)
+        dim_rest = dim - dim_fourier * 2
+        self.split_dims = (dim_fourier, dim_rest)
+        self.linear = nnx.Linear(dim, dim_fourier + dim_rest, use_bias=False,
+                                 dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, x):
+        hiddens = self.linear(x)
+        fourier = hiddens[..., : self.split_dims[0]]
+        rest = hiddens[..., self.split_dims[0]:]
+        return jnp.concatenate((jnp.sin(fourier), jnp.cos(fourier), rest), axis=-1)
+
+
+# text embeddings ------------------------------------------------------------
+
+class CharacterEmbed(nnx.Module):
+    """ids+1 (0 = filler), truncate / right-pad to the mel length, embed
+    (reference: e2_tts.py:390-412)."""
+
+    def __init__(self, dim: int, num_embeds: int = 256, *,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.dim = dim
+        self.embed = nnx.Embed(num_embeds + 1, dim, dtype=dtype,
+                               param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, text: jax.Array, max_seq_len: int, **kwargs) -> jax.Array:
+        text = text + 1                       # shift ids up, 0 becomes filler
+        text = text[:, :max_seq_len]
+        text = pad_to_length(text, max_seq_len, value=0)
+        return self.embed(jnp.clip(text, min=0))
+
+
+class InterpolatedCharacterEmbed(nnx.Module):
+    """Text embeddings bilinearly resampled to each sample's audio length,
+    plus an implicit-position MLP over the interpolated absolute positions
+    (reference: e2_tts.py:414-482).
+
+    The reference loops over the batch in python; here the whole batch is one
+    vectorized gather (utils.masked_interpolate_1d) with traced lengths —
+    static shapes, jit-friendly, no host sync.
+    """
+
+    def __init__(self, dim: int, num_embeds: int = 256, *,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.dim = dim
+        self.embed = nnx.Embed(num_embeds, dim, dtype=dtype,
+                               param_dtype=param_dtype, rngs=rngs)
+        self.pos_in = nnx.Linear(1, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.pos_out = nnx.Linear(dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, text: jax.Array, max_seq_len: int,
+                 mask: jax.Array | None = None) -> jax.Array:
+        batch = text.shape[0]
+
+        valid = text >= 0                         # pads are a suffix
+        src_lens = valid.sum(axis=-1)
+        if exists(mask):
+            tgt_lens = mask.sum(axis=-1)
+        else:
+            tgt_lens = jnp.full((batch,), max_seq_len, dtype=src_lens.dtype)
+
+        embeds = self.embed(jnp.clip(text, min=0))     # (b, nt, d); pads read id 0, never gathered
+        interp = masked_interpolate_1d(embeds, src_lens, tgt_lens, max_seq_len)
+
+        # abs position ramp: linspace(0, text_len, audio_len) per sample
+        i = jnp.arange(max_seq_len, dtype=jnp.float32)[None, :]
+        denom = jnp.maximum(tgt_lens.astype(jnp.float32) - 1.0, 1.0)[:, None]
+        abs_pos = i * (src_lens.astype(jnp.float32)[:, None] / denom)
+
+        pos_embed = self.pos_out(jax.nn.silu(self.pos_in(abs_pos[..., None])))
+        out = interp + pos_embed
+
+        if exists(mask):
+            out = jnp.where(mask[..., None], out, 0.0)
+        return out
+
+
+# multistream glue -----------------------------------------------------------
+
+class TextAudioCrossCondition(nnx.Module):
+    """Zero-init bias-free linear mixing of the concatenated audio/text
+    streams, added back to each stream (reference: e2_tts.py:486-513)."""
+
+    def __init__(self, dim: int, dim_text: int, cond_audio_to_text: bool = True, *,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.text_to_audio = nnx.Linear(
+            dim + dim_text, dim, use_bias=False,
+            kernel_init=nnx.initializers.zeros_init(),
+            dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.cond_audio_to_text = cond_audio_to_text
+        if cond_audio_to_text:
+            self.audio_to_text = nnx.Linear(
+                dim + dim_text, dim_text, use_bias=False,
+                kernel_init=nnx.initializers.zeros_init(),
+                dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, audio: jax.Array, text: jax.Array):
+        audio_text = jnp.concatenate((audio, text), axis=-1)
+        text_cond = self.text_to_audio(audio_text)
+        audio_cond = self.audio_to_text(audio_text) if self.cond_audio_to_text else 0.0
+        return audio + text_cond, text + audio_cond
+
+
+# conformer-ish positional conv ----------------------------------------------
+
+class DepthwiseConv(nnx.Module):
+    """Masked depthwise Conv1d + SiLU, masking input AND output
+    (reference: e2_tts.py:295-328). Uses XLA's feature-group convolution."""
+
+    def __init__(self, dim: int, *, kernel_size: int, groups: int | None = None,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        assert not divisible_by(kernel_size, 2)
+        groups = default(groups, dim)
+        self.conv = nnx.Conv(
+            dim, dim, kernel_size=(kernel_size,), padding='SAME',
+            feature_group_count=groups,
+            dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None):
+        if exists(mask):
+            x = jnp.where(mask[..., None], x, 0.0)
+        out = jax.nn.silu(self.conv(x))
+        if exists(mask):
+            out = jnp.where(mask[..., None], out, 0.0)
+        return out
+
+
+# feedforward ----------------------------------------------------------------
+
+class FeedForward(nnx.Module):
+    """GLU feedforward (x-transformers FeedForward(glu=True)): GEGLU
+    projection, dropout, down projection. Inner dim uses the x-transformers
+    2/3 * mult rule, rounded up to a multiple of 64 for MXU tiling (documented
+    deviation — reference inner dims like 1365 waste TPU lanes)."""
+
+    def __init__(self, dim: int, mult: float = 4.0, dropout: float = 0.0,
+                 glu: bool = True, *, dtype=None, param_dtype=jnp.float32,
+                 rngs: nnx.Rngs):
+        self.glu = glu
+        inner = int(dim * mult * 2 / 3) if glu else int(dim * mult)
+        inner = round_up_to_multiple(inner, 64)
+        self.proj_in = nnx.Linear(dim, inner * 2 if glu else inner,
+                                  dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.proj_out = nnx.Linear(inner, dim,
+                                   dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.dropout = nnx.Dropout(dropout, rngs=rngs)
+
+    def __call__(self, x):
+        h = self.proj_in(x)
+        if self.glu:
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * jax.nn.gelu(gate, approximate=False)
+        else:
+            h = jax.nn.gelu(h, approximate=False)
+        h = self.dropout(h)
+        return self.proj_out(h)
+
+
+# attention ------------------------------------------------------------------
+
+class Attention(nnx.Module):
+    """Multi-head attention with the x-transformers flags the reference
+    configures (e2_tts.py:548-551, 641, 689):
+
+    - ``softclamp_logits`` (tanh clamp at 50)
+    - ``gate_value_heads`` (per-head sigmoid output gates)
+    - ``laser`` attention (exp-space values, softclamped at 15)
+    - ``learned_value_residual_mix`` (per-head lerp with the first layer's
+      raw values — arXiv 2410.17897)
+    - attention-prob dropout, key-padding mask, RoPE
+
+    Returns ``(out, values)`` where values are this layer's raw (pre-mix)
+    value heads, fed forward as the value residual (e2_tts.py:911-916).
+    """
+
+    def __init__(self, dim: int, heads: int = 8, dim_head: int = 64,
+                 dropout: float = 0.0, gate_value_heads: bool = False,
+                 softclamp_logits: bool = False, softclamp_logits_value: float = 50.0,
+                 laser: bool = False, laser_softclamp_value: float = 15.0,
+                 learned_value_residual_mix: bool = False,
+                 backend: str = 'auto', *,
+                 dtype=None, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.heads = heads
+        self.dim_head = dim_head
+        self.dropout_rate = dropout
+        self.softclamp_value = softclamp_logits_value if softclamp_logits else None
+        self.laser = laser
+        self.laser_softclamp_value = laser_softclamp_value
+        self.backend = backend
+        self.deterministic = False
+
+        inner = heads * dim_head
+        linear = lambda i, o, bias=False: nnx.Linear(
+            i, o, use_bias=bias, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+        self.to_q = linear(dim, inner)
+        self.to_k = linear(dim, inner)
+        self.to_v = linear(dim, inner)
+        self.to_out = linear(inner, dim)
+
+        self.to_v_head_gate = linear(dim, heads, bias=True) if gate_value_heads else None
+        self.to_value_residual_mix = (
+            linear(dim, heads, bias=True) if learned_value_residual_mix else None)
+
+        self.rngs = rngs
+
+    def __call__(self, x: jax.Array, rotary_pos_emb: jax.Array | None = None,
+                 mask: jax.Array | None = None,
+                 value_residual: jax.Array | None = None):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+
+        split_heads = lambda t: t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        q = split_heads(self.to_q(x))
+        k = split_heads(self.to_k(x))
+        v = split_heads(self.to_v(x))
+
+        orig_values = v
+
+        if exists(self.to_value_residual_mix) and exists(value_residual):
+            mix = jax.nn.sigmoid(self.to_value_residual_mix(x))       # (b, n, h)
+            mix = mix.transpose(0, 2, 1)[..., None]                   # (b, h, n, 1)
+            v = v * mix + value_residual.astype(v.dtype) * (1.0 - mix)
+
+        if exists(rotary_pos_emb):
+            q = apply_rotary(q, rotary_pos_emb)
+            k = apply_rotary(k, rotary_pos_emb)
+
+        training = not self.deterministic and self.dropout_rate > 0.0
+        dropout_rng = self.rngs.dropout() if training else None
+
+        out = attention_op(
+            q, k, v, mask,
+            softclamp_value=self.softclamp_value,
+            laser=self.laser,
+            laser_softclamp_value=self.laser_softclamp_value,
+            dropout_rate=self.dropout_rate if training else 0.0,
+            dropout_rng=dropout_rng,
+            backend=self.backend,
+        )
+
+        if exists(self.to_v_head_gate):
+            gates = jax.nn.sigmoid(self.to_v_head_gate(x))            # (b, n, h)
+            out = out * gates.transpose(0, 2, 1)[..., None]
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+        return self.to_out(out), orig_values

@@ -1,0 +1,108 @@
+"""Hyper-connections (arXiv 2409.19606).
+
+Capability imported by the reference from the `hyper-connections` package
+(e2_tts.py:48, 607, 818-821): each residual branch reads a learned mixture of
+N residual streams (width connection) and writes back through learned
+per-stream gains (depth connection), with tanh-bounded dynamic (input
+conditioned) corrections on top of static weights.
+
+TPU-native layout: streams are an explicit leading axis ``(s, b, n, d)`` —
+pure einsums, no batch reshuffling; with ``num_streams == 1`` everything
+degenerates to a plain residual (reference `disable=` path, e2_tts.py:607).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from e2_tts_tpu.utils.helpers import exists
+
+
+def expand_stream(x: jax.Array, num_streams: int) -> jax.Array:
+    """(b, n, d) -> (s, b, n, d), each stream initialised with a copy."""
+    if num_streams == 1:
+        return x[None]
+    return jnp.broadcast_to(x[None], (num_streams, *x.shape))
+
+
+def reduce_stream(x: jax.Array) -> jax.Array:
+    """(s, b, n, d) -> (b, n, d) by summing streams."""
+    return x.sum(axis=0)
+
+
+class HyperConnection(nnx.Module):
+    """One residual-branch router.
+
+    ``__call__(residuals) -> (branch_input, add_residual)`` mirrors the
+    reference usage ``x, add_residual = conv_residual(x)`` (e2_tts.py:900-902)
+    with residuals shaped (s, b, n, d) and branch_input (b, n, d).
+    """
+
+    def __init__(self, dim: int, num_streams: int, layer_index: int = 0, *,
+                 param_dtype=jnp.float32, rngs: nnx.Rngs | None = None):
+        self.num_streams = num_streams
+        if num_streams == 1:
+            return
+
+        s = num_streams
+        init_alpha0 = jnp.zeros((s, 1), dtype=param_dtype).at[layer_index % s, 0].set(1.0)
+        # column 0 routes into the branch input; columns 1..s carry streams through
+        self.static_alpha = nnx.Param(
+            jnp.concatenate([init_alpha0, jnp.eye(s, dtype=param_dtype)], axis=1))  # (s, s+1)
+        self.static_beta = nnx.Param(jnp.ones((s,), dtype=param_dtype))
+        self.dynamic_alpha_fn = nnx.Param(jnp.zeros((dim, s + 1), dtype=param_dtype))
+        self.dynamic_alpha_scale = nnx.Param(jnp.asarray(1e-2, dtype=param_dtype))
+        self.dynamic_beta_fn = nnx.Param(jnp.zeros((dim,), dtype=param_dtype))
+        self.dynamic_beta_scale = nnx.Param(jnp.asarray(1e-2, dtype=param_dtype))
+
+    def __call__(self, residuals: jax.Array):
+        if self.num_streams == 1:
+            x = residuals[0]
+            return x, lambda branch_out: (x + branch_out)[None]
+
+        dtype = residuals.dtype
+        rf = residuals.astype(jnp.float32)
+
+        # rms-normalise per position for the dynamic weight computation
+        normed = rf * jax.lax.rsqrt(jnp.clip((rf * rf).mean(-1, keepdims=True), min=1e-12))
+
+        dyn_alpha = jnp.tanh(
+            jnp.einsum('sbnd,dt->sbnt', normed, self.dynamic_alpha_fn.value.astype(jnp.float32))
+        ) * self.dynamic_alpha_scale.value.astype(jnp.float32)
+        alpha = dyn_alpha + self.static_alpha.value.astype(jnp.float32)[:, None, None, :]  # (s,b,n,s+1)
+
+        dyn_beta = jnp.tanh(
+            jnp.einsum('sbnd,d->sbn', normed, self.dynamic_beta_fn.value.astype(jnp.float32))
+        ) * self.dynamic_beta_scale.value.astype(jnp.float32)
+        beta = dyn_beta + self.static_beta.value.astype(jnp.float32)[:, None, None]        # (s,b,n)
+
+        # width connection: mix streams into branch input + carried streams
+        mixed = jnp.einsum('sbnt,sbnd->tbnd', alpha, rf)          # (s+1, b, n, d)
+        branch_input = mixed[0].astype(dtype)
+        carried = mixed[1:]
+
+        def add_residual(branch_out: jax.Array) -> jax.Array:
+            # depth connection: write branch output into every stream
+            out = carried + jnp.einsum('bnd,sbn->sbnd', branch_out.astype(jnp.float32), beta)
+            return out.astype(dtype)
+
+        return branch_input, add_residual
+
+
+def get_init_and_expand_reduce_stream_functions(num_streams: int, disable: bool | None = None):
+    """Mirrors the hyper-connections package factory used at e2_tts.py:607."""
+    if disable:
+        num_streams = 1
+
+    counter = {'i': 0}
+
+    def init(dim: int, *, rngs: nnx.Rngs | None = None, param_dtype=jnp.float32):
+        layer_index = counter['i']
+        counter['i'] += 1
+        return HyperConnection(dim, num_streams, layer_index,
+                               param_dtype=param_dtype, rngs=rngs)
+
+    expand = lambda x: expand_stream(x, num_streams)
+    return init, expand, reduce_stream

@@ -1,0 +1,93 @@
+"""Attention compute op with the reference's "epicycles".
+
+The reference reaches ATen SDPA through x-transformers `Attention`
+(e2_tts.py:641, 689, 911) with: logit softclamping (tanh), LASER attention
+(exp-space values, arXiv 2411.03493 style with a softclamp), key-padding
+masking and attention dropout. This module implements those semantics as a
+pure function over (b, h, n, dh) tensors with an XLA path and a Pallas
+flash-attention path (ops/flash_attention.py) selected by `backend`.
+
+Value-head gating and value-residual mixing live in the Attention *module*
+(models/blocks.py) — they are elementwise pre/post ops, not part of the
+softmax core, so both backends share them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from e2_tts_tpu.utils.helpers import exists
+
+NEG_INF = -1e30
+
+
+def softclamp(x: jax.Array, value: float) -> jax.Array:
+    """tanh soft clamp: value * tanh(x / value)."""
+    return jnp.tanh(x / value) * value
+
+
+def attention(
+    q: jax.Array,                 # (b, h, n, dh)
+    k: jax.Array,                 # (b, h, n, dh)
+    v: jax.Array,                 # (b, h, n, dh)
+    mask: jax.Array | None = None,   # (b, n) key padding mask, True = attend
+    *,
+    scale: float | None = None,
+    softclamp_value: float | None = 50.0,   # x-transformers softclamp_logits default
+    laser: bool = False,
+    laser_softclamp_value: float = 15.0,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    backend: str = 'xla',
+) -> jax.Array:
+    if not exists(scale):
+        scale = q.shape[-1] ** -0.5
+
+    if laser:
+        # LASER: attention over exp-space values, log after aggregation
+        # (x-transformers laser flag, e2_tts.py:543-544)
+        v = jnp.exp(softclamp(v.astype(jnp.float32), laser_softclamp_value))
+
+    use_pallas = backend == 'pallas' or (
+        backend == 'auto'
+        and dropout_rate == 0.0
+        and jax.default_backend() == 'tpu'
+    )
+
+    if use_pallas:
+        from e2_tts_tpu.ops.flash_attention import flash_attention
+        out = flash_attention(
+            q, k, v.astype(q.dtype), mask,
+            scale=scale, softclamp_value=softclamp_value,
+        )
+    else:
+        out = _xla_attention(
+            q, k, v, mask,
+            scale=scale, softclamp_value=softclamp_value,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        )
+
+    if laser:
+        out = jnp.log(jnp.clip(out.astype(jnp.float32), min=1e-20))
+
+    return out.astype(q.dtype)
+
+
+def _xla_attention(q, k, v, mask, *, scale, softclamp_value, dropout_rate, dropout_rng):
+    logits = jnp.einsum('bhid,bhjd->bhij', q, k, preferred_element_type=jnp.float32) * scale
+
+    if exists(softclamp_value):
+        logits = softclamp(logits, softclamp_value)
+
+    if exists(mask):
+        logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    if dropout_rate > 0.0 and exists(dropout_rng):
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    return jnp.einsum('bhij,bhjd->bhid', probs, v.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
