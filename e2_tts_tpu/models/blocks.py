@@ -52,7 +52,7 @@ class RMSNorm(nnx.Module):
         dtype = x.dtype
         xf = x.astype(jnp.float32)
         normed = xf * jax.lax.rsqrt(jnp.clip((xf * xf).sum(-1, keepdims=True), min=1e-12))
-        return (normed * self.scale * self.gamma.value.astype(jnp.float32)).astype(dtype)
+        return (normed * self.scale * self.gamma[...].astype(jnp.float32)).astype(dtype)
 
 
 class AdaptiveRMSNorm(nnx.Module):
@@ -112,7 +112,7 @@ class RandomFourierEmbed(nnx.Module):
         self.weights = Buffer(jax.random.normal(rngs.params(), (dim // 2,)))
 
     def __call__(self, x):  # x: (b,)
-        freqs = x[:, None].astype(jnp.float32) * self.weights.value[None, :] * 2 * jnp.pi
+        freqs = x[:, None].astype(jnp.float32) * self.weights[...][None, :] * 2 * jnp.pi
         return jnp.concatenate(
             (x[:, None].astype(jnp.float32), jnp.sin(freqs), jnp.cos(freqs)), axis=-1)
 

@@ -69,14 +69,14 @@ class HyperConnection(nnx.Module):
         normed = rf * jax.lax.rsqrt(jnp.clip((rf * rf).mean(-1, keepdims=True), min=1e-12))
 
         dyn_alpha = jnp.tanh(
-            jnp.einsum('sbnd,dt->sbnt', normed, self.dynamic_alpha_fn.value.astype(jnp.float32))
-        ) * self.dynamic_alpha_scale.value.astype(jnp.float32)
-        alpha = dyn_alpha + self.static_alpha.value.astype(jnp.float32)[:, None, None, :]  # (s,b,n,s+1)
+            jnp.einsum('sbnd,dt->sbnt', normed, self.dynamic_alpha_fn[...].astype(jnp.float32))
+        ) * self.dynamic_alpha_scale[...].astype(jnp.float32)
+        alpha = dyn_alpha + self.static_alpha[...].astype(jnp.float32)[:, None, None, :]  # (s,b,n,s+1)
 
         dyn_beta = jnp.tanh(
-            jnp.einsum('sbnd,d->sbn', normed, self.dynamic_beta_fn.value.astype(jnp.float32))
-        ) * self.dynamic_beta_scale.value.astype(jnp.float32)
-        beta = dyn_beta + self.static_beta.value.astype(jnp.float32)[:, None, None]        # (s,b,n)
+            jnp.einsum('sbnd,d->sbn', normed, self.dynamic_beta_fn[...].astype(jnp.float32))
+        ) * self.dynamic_beta_scale[...].astype(jnp.float32)
+        beta = dyn_beta + self.static_beta[...].astype(jnp.float32)[:, None, None]        # (s,b,n)
 
         # width connection: mix streams into branch input + carried streams
         mixed = jnp.einsum('sbnt,sbnd->tbnd', alpha, rf)          # (s+1, b, n, d)

@@ -1,0 +1,404 @@
+"""Dual-stream ("multistream") transformer backbone.
+
+TPU-native redesign of the reference `Transformer` (e2_tts.py:518-952): a
+speech stream (dim) and a smaller text stream (dim_text) run side by side and
+cross-condition at every text layer; UNet-style skip connections join the
+first and second halves of the speech stack; 32 register tokens are prepended
+to both streams; residuals route through hyper-connections; time conditioning
+enters via AdaptiveRMSNorm + AdaLNZero gates; an optional frequency axis adds
+per-layer attention across frequency tokens.
+
+Used by both `E2TTS` (cond_on_time=True) and `DurationPredictor`
+(cond_on_time=False), exactly like the reference (e2_tts.py:984-987, 1159-1162).
+
+JAX notes: the layer loop is unrolled under jit (depth <= 16 compiles fast and
+lets XLA specialise each layer's fused kernels; the UNet skip asymmetry breaks
+scan anyway — SURVEY.md §7). All shapes are static; masks carry raggedness.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from e2_tts_tpu.models.blocks import (
+    Identity, RMSNorm, AdaptiveRMSNorm, AdaLNZero, RandomFourierEmbed,
+    LinearFourierEmbed, TextAudioCrossCondition, DepthwiseConv, FeedForward,
+    Attention,
+)
+from e2_tts_tpu.models.hyper_connections import (
+    get_init_and_expand_reduce_stream_functions, expand_stream, reduce_stream,
+)
+from e2_tts_tpu.ops.rotary import RotaryEmbedding
+from e2_tts_tpu.utils.helpers import exists, default, divisible_by, xnor
+
+
+class SpeechLayer(nnx.Module):
+    """Per-layer speech-stream modules (reference speech_modules, e2_tts.py:658-671)."""
+
+    def __init__(self, *, dim, heads, dim_head, ff_mult, kernel_size, dropout,
+                 is_first_block, is_later_half, has_freq_axis, freq_heads,
+                 freq_dim_head, cond_on_time, attn_laser, attn_laser_softclamp_value,
+                 attn_fourier_embed_input, attn_fourier_embed_input_frac,
+                 attn_kwargs, ff_kwargs, attn_backend, dtype, param_dtype, rngs):
+        norm_klass = AdaptiveRMSNorm if cond_on_time else RMSNorm
+        mk_norm = lambda: norm_klass(dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs) \
+            if cond_on_time else RMSNorm(dim, param_dtype=param_dtype)
+        mk_gate = lambda: (AdaLNZero(dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+                           if cond_on_time else Identity())
+
+        self.skip_proj = nnx.Linear(
+            dim * 2, dim, use_bias=False, dtype=dtype, param_dtype=param_dtype,
+            rngs=rngs) if is_later_half else None
+
+        self.conv = DepthwiseConv(dim, kernel_size=kernel_size, dtype=dtype,
+                                  param_dtype=param_dtype, rngs=rngs)
+
+        self.attn_norm = mk_norm()
+        self.attn_input_fourier_embed = (
+            LinearFourierEmbed(dim, p=attn_fourier_embed_input_frac, dtype=dtype,
+                               param_dtype=param_dtype, rngs=rngs)
+            if attn_fourier_embed_input else Identity())
+        self.attn = Attention(
+            dim, heads=heads, dim_head=dim_head, dropout=dropout,
+            learned_value_residual_mix=not is_first_block,
+            laser=attn_laser, laser_softclamp_value=attn_laser_softclamp_value,
+            backend=attn_backend, dtype=dtype, param_dtype=param_dtype,
+            rngs=rngs, **attn_kwargs)
+        self.attn_adaln_zero = mk_gate()
+
+        self.ff_norm = mk_norm()
+        self.ff = FeedForward(dim, mult=ff_mult, dropout=dropout, glu=True,
+                              dtype=dtype, param_dtype=param_dtype, rngs=rngs, **ff_kwargs)
+        self.ff_adaln_zero = mk_gate()
+
+        if has_freq_axis:
+            self.freq_attn_norm = mk_norm()
+            self.freq_attn = Attention(dim, heads=freq_heads, dim_head=freq_dim_head,
+                                       backend=attn_backend, dtype=dtype,
+                                       param_dtype=param_dtype, rngs=rngs)
+            self.freq_attn_adaln_zero = mk_gate()
+        else:
+            self.freq_attn_norm = self.freq_attn = self.freq_attn_adaln_zero = None
+
+
+class TextLayer(nnx.Module):
+    """Per-layer text-stream modules (reference text_modules, e2_tts.py:683-707)."""
+
+    def __init__(self, *, dim, dim_text, heads, dim_head, ff_mult, kernel_size,
+                 dropout, is_first_block, is_last_text_layer, attn_laser,
+                 attn_laser_softclamp_value, attn_kwargs, ff_kwargs,
+                 attn_backend, dtype, param_dtype, rngs):
+        self.conv = DepthwiseConv(dim_text, kernel_size=kernel_size, dtype=dtype,
+                                  param_dtype=param_dtype, rngs=rngs)
+        self.attn_norm = RMSNorm(dim_text, param_dtype=param_dtype)
+        self.attn = Attention(
+            dim_text, heads=heads, dim_head=dim_head, dropout=dropout,
+            learned_value_residual_mix=not is_first_block,
+            laser=attn_laser, laser_softclamp_value=attn_laser_softclamp_value,
+            backend=attn_backend, dtype=dtype, param_dtype=param_dtype,
+            rngs=rngs, **attn_kwargs)
+        self.ff_norm = RMSNorm(dim_text, param_dtype=param_dtype)
+        self.ff = FeedForward(dim_text, mult=ff_mult, dropout=dropout, glu=True,
+                              dtype=dtype, param_dtype=param_dtype, rngs=rngs, **ff_kwargs)
+        self.cross_condition = TextAudioCrossCondition(
+            dim, dim_text, cond_audio_to_text=not is_last_text_layer,
+            dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+
+class Transformer(nnx.Module):
+
+    def __init__(
+        self,
+        *,
+        dim: int,
+        dim_text: int | None = None,       # defaults to dim // 2 (e2_tts.py:566)
+        depth: int = 8,
+        heads: int = 8,
+        dim_head: int = 64,
+        ff_mult: int = 4,
+        text_depth: int | None = None,
+        text_heads: int | None = None,
+        text_dim_head: int | None = None,
+        text_ff_mult: int | None = None,
+        has_freq_axis: bool = False,
+        freq_heads: int | None = None,
+        freq_dim_head: int | None = None,
+        cond_on_time: bool = True,
+        abs_pos_emb: bool = True,
+        max_seq_len: int = 8192,
+        kernel_size: int = 31,
+        dropout: float = 0.1,
+        num_registers: int = 32,
+        attn_laser: bool = False,
+        attn_laser_softclamp_value: float = 15.0,
+        attn_fourier_embed_input: bool = False,
+        attn_fourier_embed_input_frac: float = 0.25,
+        num_residual_streams: int = 4,
+        attn_kwargs: dict = dict(gate_value_heads=True, softclamp_logits=True),
+        ff_kwargs: dict = dict(),
+        attn_backend: str = 'auto',
+        dtype=None,
+        param_dtype=jnp.float32,
+        rngs: nnx.Rngs | None = None,
+    ):
+        rngs = default(rngs, nnx.Rngs(0))
+        assert divisible_by(depth, 2), 'depth needs to be even'
+
+        self.dim = dim
+        self.depth = depth
+        self.max_seq_len = max_seq_len
+        self.cond_on_time = cond_on_time
+        self.has_freq_axis = has_freq_axis
+        self.num_registers = num_registers
+
+        dim_text = default(dim_text, dim // 2)
+        self.dim_text = dim_text
+
+        text_heads = default(text_heads, heads)
+        text_dim_head = default(text_dim_head, dim_head)
+        text_ff_mult = default(text_ff_mult, ff_mult)
+        text_depth = default(text_depth, depth)
+        assert 1 <= text_depth <= depth, \
+            'must have at least 1 layer of text conditioning, but less than total number of speech layers'
+        self.text_depth = text_depth
+
+        freq_heads = default(freq_heads, heads)
+        freq_dim_head = default(freq_dim_head, dim_head)
+
+        # absolute positional embedding (learned table, e2_tts.py:560)
+        self.abs_pos_emb = nnx.Embed(
+            max_seq_len, dim, dtype=dtype, param_dtype=param_dtype,
+            rngs=rngs) if abs_pos_emb else None
+
+        # registers (ViT-registers; e2_tts.py:590-595)
+        init_normal = nnx.initializers.normal(0.02)
+        self.registers = nnx.Param(init_normal(rngs.params(), (num_registers, dim), param_dtype))
+        self.text_registers = nnx.Param(init_normal(rngs.params(), (num_registers, dim_text), param_dtype))
+
+        # rotary embeddings (stateless)
+        self.rotary_emb = RotaryEmbedding(dim_head)
+        self.text_rotary_emb = RotaryEmbedding(text_dim_head)
+        self.freq_rotary_emb = RotaryEmbedding(freq_dim_head) if has_freq_axis else None
+
+        # hyper connections
+        self.num_residual_streams = num_residual_streams
+        init_hyper_conn, _, _ = get_init_and_expand_reduce_stream_functions(
+            num_residual_streams, disable=num_residual_streams == 1)
+
+        # time conditioning MLP (e2_tts.py:618-625)
+        if cond_on_time:
+            self.time_fourier = RandomFourierEmbed(dim, rngs=rngs)
+            self.time_mlp = nnx.Linear(dim + 1, dim, dtype=dtype,
+                                       param_dtype=param_dtype, rngs=rngs)
+        else:
+            self.time_fourier = self.time_mlp = None
+
+        common = dict(attn_kwargs=dict(attn_kwargs), ff_kwargs=dict(ff_kwargs),
+                      attn_backend=attn_backend, dtype=dtype,
+                      param_dtype=param_dtype)
+
+        self.speech_layers = nnx.List([])
+        self.text_layers = nnx.List([])
+        self.speech_hcs = nnx.List([])   # per layer: [conv, attn, ff, (freq)]
+        self.text_hcs = nnx.List([])     # per layer: [conv, attn, ff] or None
+
+        for ind in range(depth):
+            is_first_block = ind == 0
+            is_later_half = ind >= depth // 2
+            has_text = ind < text_depth
+
+            self.speech_layers.append(SpeechLayer(
+                dim=dim, heads=heads, dim_head=dim_head, ff_mult=ff_mult,
+                kernel_size=kernel_size, dropout=dropout,
+                is_first_block=is_first_block, is_later_half=is_later_half,
+                has_freq_axis=has_freq_axis, freq_heads=freq_heads,
+                freq_dim_head=freq_dim_head, cond_on_time=cond_on_time,
+                attn_laser=attn_laser,
+                attn_laser_softclamp_value=attn_laser_softclamp_value,
+                attn_fourier_embed_input=attn_fourier_embed_input,
+                attn_fourier_embed_input_frac=attn_fourier_embed_input_frac,
+                rngs=rngs, **common))
+
+            hcs = nnx.List([init_hyper_conn(dim, rngs=rngs, param_dtype=param_dtype)
+                            for _ in range(3 + int(has_freq_axis))])
+            self.speech_hcs.append(hcs)
+
+            if has_text:
+                self.text_layers.append(TextLayer(
+                    dim=dim, dim_text=dim_text, heads=text_heads,
+                    dim_head=text_dim_head, ff_mult=text_ff_mult,
+                    kernel_size=kernel_size, dropout=dropout,
+                    is_first_block=is_first_block,
+                    is_last_text_layer=ind == text_depth - 1,
+                    attn_laser=attn_laser,
+                    attn_laser_softclamp_value=attn_laser_softclamp_value,
+                    rngs=rngs, **common))
+                self.text_hcs.append(nnx.List(
+                    [init_hyper_conn(dim_text, rngs=rngs, param_dtype=param_dtype)
+                     for _ in range(3)]))
+            else:
+                self.text_layers.append(None)
+                self.text_hcs.append(None)
+
+        self.final_norm = RMSNorm(dim, param_dtype=param_dtype)
+
+    def __call__(
+        self,
+        x: jax.Array,                       # (b, n, d) or (b, f, n, d)
+        times: jax.Array | None = None,     # (b,) or scalar
+        mask: jax.Array | None = None,      # (b, n) bool
+        text_embed: jax.Array | None = None,  # (b, n, dt)
+    ) -> jax.Array:
+        orig_batch = x.shape[0]
+        assert xnor(x.ndim == 4, self.has_freq_axis), \
+            '`has_freq_axis` must be set iff passing a 4-dim (b f n d) tensor'
+
+        freq_seq_len = 1
+        if self.has_freq_axis:
+            freq_seq_len = x.shape[1]
+            x = x.reshape(orig_batch * freq_seq_len, *x.shape[2:])  # (b f) n d
+            if exists(text_embed):
+                text_embed = jnp.repeat(text_embed, freq_seq_len, axis=0)
+            if exists(mask):
+                mask = jnp.repeat(mask, freq_seq_len, axis=0)
+
+        batch, seq_len = x.shape[0], x.shape[1]
+
+        assert not (exists(times) ^ self.cond_on_time), \
+            '`times` must be passed in iff `cond_on_time` is set'
+
+        # absolute positions (before registers, e2_tts.py:760-763)
+        if exists(self.abs_pos_emb):
+            assert seq_len <= self.max_seq_len, \
+                f'{seq_len} exceeds the set `max_seq_len` ({self.max_seq_len})'
+            x = x + self.abs_pos_emb(jnp.arange(seq_len))
+
+        # prepend registers, pad mask with True (e2_tts.py:767-771)
+        r = self.num_registers
+        registers = jnp.broadcast_to(
+            self.registers[...].astype(x.dtype)[None], (batch, r, self.dim))
+        x = jnp.concatenate((registers, x), axis=1)
+        if exists(mask):
+            mask = jnp.pad(mask, ((0, 0), (r, 0)), constant_values=True)
+
+        packed_len = x.shape[1]
+
+        # time conditioning (e2_tts.py:778-789)
+        norm_kwargs, freq_norm_kwargs = {}, {}
+        if exists(times):
+            if times.ndim == 0:
+                times = jnp.broadcast_to(times, (orig_batch,))
+            times = jax.nn.silu(self.time_mlp(self.time_fourier(times))).astype(x.dtype)
+            if self.has_freq_axis:
+                freq_times = jnp.repeat(times, packed_len, axis=0)   # (b*n, d)
+                freq_norm_kwargs = dict(condition=freq_times)
+            times = jnp.repeat(times, freq_seq_len, axis=0)           # ((b f), d)
+            norm_kwargs = dict(condition=times)
+
+        # rotary tables
+        rotary = self.rotary_emb.forward_from_seq_len(packed_len)
+        if exists(text_embed):
+            text_rotary = self.text_rotary_emb.forward_from_seq_len(packed_len)
+            text_registers = jnp.broadcast_to(
+                self.text_registers[...].astype(text_embed.dtype)[None],
+                (batch, r, self.dim_text))
+            text_embed = jnp.concatenate((text_registers, text_embed), axis=1)
+        if self.has_freq_axis:
+            freq_rotary = self.freq_rotary_emb.forward_from_seq_len(freq_seq_len)
+
+        # expand hyper-connection streams: (s, b, n, d)
+        s = self.num_residual_streams
+        x = expand_stream(x, s)
+        if exists(text_embed):
+            text_embed = expand_stream(text_embed, s)
+
+        skips = []
+        attn_first_values = None
+        text_attn_first_values = None
+        freq_attn_first_values = None
+
+        for ind in range(self.depth):
+            layer = ind + 1
+            sl = self.speech_layers[ind]
+            s_hcs = self.speech_hcs[ind]
+            tl = self.text_layers[ind]
+
+            # text stream first, then cross-condition (e2_tts.py:853-883)
+            if exists(text_embed) and exists(tl):
+                t_conv_hc, t_attn_hc, t_ff_hc = self.text_hcs[ind]
+
+                t_in, add_residual = t_conv_hc(text_embed)
+                text_embed = add_residual(tl.conv(t_in, mask=mask))
+
+                t_in, add_residual = t_attn_hc(text_embed)
+                t_attn_out, t_values = tl.attn(
+                    tl.attn_norm(t_in), rotary_pos_emb=text_rotary, mask=mask,
+                    value_residual=text_attn_first_values)
+                text_embed = add_residual(t_attn_out)
+                text_attn_first_values = default(text_attn_first_values, t_values)
+
+                t_in, add_residual = t_ff_hc(text_embed)
+                text_embed = add_residual(tl.ff(tl.ff_norm(t_in)))
+
+                x, text_embed = tl.cross_condition(x, text_embed)
+
+            # UNet skips on the speech stream (e2_tts.py:887-896)
+            if layer <= self.depth // 2:
+                skips.append(x)
+            else:
+                skip = skips.pop()
+                x = jnp.concatenate((x, skip), axis=-1)
+                x = sl.skip_proj(x)
+
+            # position-generating convolution
+            conv_hc, attn_hc, ff_hc = s_hcs[0], s_hcs[1], s_hcs[2]
+            b_in, add_residual = conv_hc(x)
+            x = add_residual(sl.conv(b_in, mask=mask))
+
+            # attention
+            b_in, add_residual = attn_hc(x)
+            h = sl.attn_norm(b_in, **norm_kwargs)
+            h = sl.attn_input_fourier_embed(h)
+            attn_out, values = sl.attn(
+                h, rotary_pos_emb=rotary, mask=mask,
+                value_residual=attn_first_values)
+            attn_out = sl.attn_adaln_zero(attn_out, **norm_kwargs)
+            x = add_residual(attn_out)
+            attn_first_values = default(attn_first_values, values)
+
+            # attention across frequency tokens (e2_tts.py:920-932)
+            if self.has_freq_axis:
+                freq_hc = s_hcs[3]
+                b_in, add_residual = freq_hc(x)
+                # (b f) n d -> (b n) f d
+                bf, n, d = b_in.shape
+                h = b_in.reshape(orig_batch, freq_seq_len, n, d)
+                h = h.transpose(0, 2, 1, 3).reshape(orig_batch * n, freq_seq_len, d)
+                h = sl.freq_attn_norm(h, **freq_norm_kwargs)
+                f_out, f_values = sl.freq_attn(
+                    h, rotary_pos_emb=freq_rotary,
+                    value_residual=freq_attn_first_values)
+                f_out = sl.freq_attn_adaln_zero(f_out, **freq_norm_kwargs)
+                f_out = f_out.reshape(orig_batch, n, freq_seq_len, d)
+                f_out = f_out.transpose(0, 2, 1, 3).reshape(bf, n, d)
+                x = add_residual(f_out)
+                freq_attn_first_values = default(freq_attn_first_values, f_values)
+
+            # feedforward
+            b_in, add_residual = ff_hc(x)
+            ff_out = sl.ff(sl.ff_norm(b_in, **norm_kwargs))
+            ff_out = sl.ff_adaln_zero(ff_out, **norm_kwargs)
+            x = add_residual(ff_out)
+
+        assert len(skips) == 0
+
+        # drop registers, reduce hyper-connection streams (e2_tts.py:941-947)
+        x = x[:, :, r:, :]
+        x = reduce_stream(x)
+
+        if self.has_freq_axis:
+            x = x.reshape(orig_batch, freq_seq_len, *x.shape[1:])
+
+        return self.final_norm(x)
