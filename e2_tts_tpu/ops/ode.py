@@ -1,0 +1,75 @@
+"""Fixed-step neural-ODE integrators as `lax.scan` loops — fully on device.
+
+The reference integrates the flow ODE with torchdiffeq's `odeint` on a fixed
+linspace(0, 1, steps) grid with method='midpoint' (e2_tts.py:33, 1122-1126,
+1421) — i.e. a fixed-step integrator despite the atol/rtol kwargs. The
+TPU-native equivalent is a `lax.scan` over the time grid: one compiled loop,
+no host round-trips, 2 f-evals per interval for midpoint (NFE parity).
+
+`odeint(fn, y0, t, method=...)` mirrors the torchdiffeq call signature the
+reference uses; atol/rtol are accepted and ignored (fixed-grid methods).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _euler_step(fn, t0, t1, y):
+    h = t1 - t0
+    return y + h * fn(t0, y)
+
+
+def _midpoint_step(fn, t0, t1, y):
+    h = t1 - t0
+    half = y + 0.5 * h * fn(t0, y)
+    return y + h * fn(t0 + 0.5 * h, half)
+
+
+def _rk4_step(fn, t0, t1, y):
+    h = t1 - t0
+    k1 = fn(t0, y)
+    k2 = fn(t0 + 0.5 * h, y + 0.5 * h * k1)
+    k3 = fn(t0 + 0.5 * h, y + 0.5 * h * k2)
+    k4 = fn(t1, y + h * k3)
+    return y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+_STEPPERS = {
+    'euler': _euler_step,
+    'midpoint': _midpoint_step,
+    'rk4': _rk4_step,
+}
+
+
+def odeint(
+    fn,
+    y0: jax.Array,
+    t: jax.Array,
+    *,
+    method: str = 'midpoint',
+    atol: float | None = None,   # accepted for API parity, unused (fixed grid)
+    rtol: float | None = None,
+    return_trajectory: bool = False,
+):
+    """Integrate dy/dt = fn(t, y) across the grid ``t`` (shape (steps,)).
+
+    Returns the final state ``y(t[-1])``; with ``return_trajectory=True``
+    returns the full (steps, *y0.shape) trajectory like torchdiffeq.
+    """
+    if method not in _STEPPERS:
+        raise ValueError(f'unknown ODE method {method!r}; choose from {sorted(_STEPPERS)}')
+    stepper = _STEPPERS[method]
+
+    t = t.astype(jnp.float32)
+    t_pairs = jnp.stack((t[:-1], t[1:]), axis=-1)   # (steps-1, 2)
+
+    def scan_body(y, t01):
+        y_next = stepper(fn, t01[0], t01[1], y)
+        return y_next, (y_next if return_trajectory else None)
+
+    y_final, ys = jax.lax.scan(scan_body, y0, t_pairs)
+
+    if return_trajectory:
+        return jnp.concatenate((y0[None], ys), axis=0)
+    return y_final

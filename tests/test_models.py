@@ -1,0 +1,246 @@
+"""Model-level tests: DurationPredictor, E2TTS loss, ODE sampler, README-style
+usage parity (the reference's de-facto smoke test, README.md:30-64)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from e2_tts_tpu.models.duration import DurationPredictor
+from e2_tts_tpu.models.e2tts import E2TTS, E2TTSReturn
+from e2_tts_tpu.ops.ode import odeint
+
+
+SMALL_TF = dict(dim=64, depth=4, heads=2, dim_head=16, ff_mult=2,
+                num_registers=4, max_seq_len=256, kernel_size=7, dropout=0.0,
+                num_residual_streams=2, attn_backend='xla')
+
+
+def small_duration_predictor(**kwargs):
+    return DurationPredictor(transformer=dict(**SMALL_TF), rngs=nnx.Rngs(0), **kwargs)
+
+
+def small_e2tts(**kwargs):
+    return E2TTS(transformer=dict(**SMALL_TF), rngs=nnx.Rngs(0), **kwargs)
+
+
+# -- ODE integrators ---------------------------------------------------------
+
+def test_odeint_linear():
+    # dy/dt = -y => y(1) = e^-1
+    fn = lambda t, y: -y
+    y0 = jnp.ones((4,))
+    t = jnp.linspace(0, 1, 33)
+    for method, tol in [('euler', 2e-2), ('midpoint', 1e-3), ('rk4', 1e-6)]:
+        out = odeint(fn, y0, t, method=method)
+        np.testing.assert_allclose(np.asarray(out), np.exp(-1) * np.ones(4), rtol=tol)
+
+
+def test_odeint_trajectory_and_nfe():
+    calls = []
+    def fn(t, y):
+        calls.append(1)
+        return jnp.zeros_like(y)
+    t = jnp.linspace(0, 1, 5)
+    traj = odeint(fn, jnp.ones((2,)), t, method='midpoint', return_trajectory=True)
+    assert traj.shape == (5, 2)
+    # midpoint = 2 evals per interval (traced once inside scan => 2 traces)
+    assert len(calls) == 2
+
+
+def test_odeint_unknown_method():
+    with pytest.raises(ValueError):
+        odeint(lambda t, y: y, jnp.ones(2), jnp.linspace(0, 1, 3), method='dopri5')
+
+
+# -- DurationPredictor -------------------------------------------------------
+
+def test_duration_predictor_loss_and_pred():
+    dp = small_duration_predictor()
+    dp.eval()
+    mel = jax.random.normal(jax.random.key(0), (2, 48, 100))
+    lens = jnp.array([40, 48])
+
+    loss = dp(mel, text=['hello world', 'tts test'], lens=lens,
+              key=jax.random.key(1))
+    assert loss.shape == ()
+    assert np.isfinite(float(loss))
+
+    pred = dp(mel, text=['hello world', 'tts test'], lens=lens, return_loss=False)
+    assert pred.shape == (2,)
+    assert (np.asarray(pred) >= 0).all()      # softplus regression default
+
+
+def test_duration_predictor_hl_gauss_classification():
+    dp = small_duration_predictor(
+        hl_gauss_loss=dict(min_value=0.0, max_value=256.0, num_bins=32),
+        use_regression=False)
+    dp.eval()
+    mel = jax.random.normal(jax.random.key(0), (2, 48, 100))
+    pred = dp(mel, return_loss=False)
+    assert ((np.asarray(pred) >= 0) & (np.asarray(pred) <= 256)).all()
+
+
+def test_duration_predictor_gradients_flow():
+    dp = small_duration_predictor()
+    dp.eval()
+    mel = jax.random.normal(jax.random.key(0), (2, 32, 100))
+
+    def loss_fn(m):
+        return m(mel, text=['ab', 'cd'], lens=jnp.array([30, 32]),
+                 key=jax.random.key(1))
+
+    grads = nnx.grad(loss_fn)(dp)
+    leaves = jax.tree.leaves(grads)
+    assert len(leaves) > 0
+    total = sum(float(jnp.abs(g).sum()) for g in leaves)
+    assert np.isfinite(total) and total > 0
+
+
+# -- E2TTS -------------------------------------------------------------------
+
+def test_e2tts_forward_loss():
+    model = small_e2tts()
+    model.eval()
+    mel = jax.random.normal(jax.random.key(0), (2, 48, 100))
+    out = model(mel, text=['hello world', 'tts test'],
+                lens=jnp.array([40, 48]), key=jax.random.key(1),
+                drop_text_cond=False)
+    assert isinstance(out, E2TTSReturn)
+    loss, cond, pred_flow, pred_data, breakdown = out
+    assert loss.shape == ()
+    assert np.isfinite(float(loss))
+    assert cond.shape == mel.shape
+    assert pred_flow.shape == mel.shape
+    assert pred_data.shape == mel.shape
+    assert float(breakdown.velocity_consistency) == 0.0
+
+
+def test_e2tts_forward_raw_wave():
+    model = small_e2tts()
+    model.eval()
+    wave = jax.random.normal(jax.random.key(0), (2, 12000)) * 0.1
+    out = model(wave, text=['a', 'b'], key=jax.random.key(1), drop_text_cond=False)
+    assert np.isfinite(float(out.loss))
+
+
+def test_e2tts_text_drop_changes_loss():
+    model = small_e2tts()
+    model.eval()
+    # the text->audio mixers are zero-init (reference e2_tts.py:495), so at
+    # init text has no effect; perturb one to make conditioning observable
+    cc = model.transformer.text_layers[0].cross_condition
+    cc.text_to_audio.kernel[...] = jax.random.normal(
+        jax.random.key(7), cc.text_to_audio.kernel.shape) * 0.1
+    mel = jax.random.normal(jax.random.key(0), (2, 32, 100))
+    kwargs = dict(text=['hello', 'world'], key=jax.random.key(1))
+    l_with = model(mel, drop_text_cond=False, **kwargs).loss
+    l_drop = model(mel, drop_text_cond=True, **kwargs).loss
+    assert float(l_with) != float(l_drop)
+
+
+def test_e2tts_velocity_consistency():
+    model = small_e2tts(velocity_consistency_weight=0.5)
+    model.eval()
+    teacher = small_e2tts(velocity_consistency_weight=0.5)
+    teacher.eval()
+    mel = jax.random.normal(jax.random.key(0), (2, 32, 100))
+    out = model(mel, text=['ab', 'cd'], key=jax.random.key(1),
+                velocity_consistency_model=teacher, drop_text_cond=False)
+    assert float(out.loss_breakdown.velocity_consistency) > 0
+    assert np.isfinite(float(out.loss))
+
+
+def test_e2tts_sample_shapes():
+    model = small_e2tts()
+    mel_prompt = jax.random.normal(jax.random.key(0), (2, 12, 100))
+    out = model.sample(
+        mel_prompt, text=['hello', 'world'], duration=24, steps=3,
+        key=jax.random.key(1), return_raw_output=True, duration_bucket=32)
+    assert out.shape == (2, 24, 100)
+    assert np.isfinite(np.asarray(out)).all()
+    # prompt region preserved (e2_tts.py:1426)
+    np.testing.assert_allclose(np.asarray(out[:, :12]), np.asarray(mel_prompt), atol=1e-5)
+
+
+def test_e2tts_sample_with_duration_predictor():
+    model = E2TTS(
+        transformer=dict(**SMALL_TF),
+        duration_predictor=dict(transformer=dict(**SMALL_TF)),
+        rngs=nnx.Rngs(0))
+    mel_prompt = jax.random.normal(jax.random.key(0), (1, 8, 100)) * 0.1
+    out = model.sample(mel_prompt, text=['hi'], steps=2,
+                       key=jax.random.key(1), return_raw_output=True,
+                       duration_bucket=16, max_duration=64)
+    assert out.ndim == 3 and out.shape[0] == 1 and out.shape[2] == 100
+    assert out.shape[1] >= 9   # at least lens+1
+
+
+def test_e2tts_sample_cfg_zero_and_autoguidance():
+    model = small_e2tts()
+    null_model = E2TTS(transformer=dict(**SMALL_TF), rngs=nnx.Rngs(42))
+    # make text conditioning observable (zero-init mixers, see above)
+    cc = model.transformer.text_layers[0].cross_condition
+    cc.text_to_audio.kernel[...] = jax.random.normal(
+        jax.random.key(7), cc.text_to_audio.kernel.shape) * 0.1
+    prompt = jax.random.normal(jax.random.key(0), (1, 8, 100))
+    kwargs = dict(text=['hey'], duration=16, steps=2, key=jax.random.key(1),
+                  return_raw_output=True, duration_bucket=16)
+    out_nocfg = model.sample(prompt, cfg_strength=0.0, **kwargs)
+    out_cfg = model.sample(prompt, cfg_strength=1.0, **kwargs)
+    out_ag = model.sample(prompt, cfg_null_model=null_model, **kwargs)
+    for o in (out_nocfg, out_cfg, out_ag):
+        assert np.isfinite(np.asarray(o)).all()
+    assert not np.allclose(np.asarray(out_nocfg), np.asarray(out_cfg))
+    assert not np.allclose(np.asarray(out_cfg), np.asarray(out_ag))
+
+
+def test_e2tts_interpolated_text():
+    model = small_e2tts(interpolated_text=True)
+    model.eval()
+    mel = jax.random.normal(jax.random.key(0), (2, 32, 100))
+    out = model(mel, text=['hello world', 'ok'], lens=jnp.array([28, 32]),
+                key=jax.random.key(1), drop_text_cond=False)
+    assert np.isfinite(float(out.loss))
+
+
+def test_e2tts_concat_cond():
+    model = small_e2tts(concat_cond=True)
+    model.eval()
+    mel = jax.random.normal(jax.random.key(0), (1, 24, 100))
+    out = model(mel, text=['abc'], key=jax.random.key(1), drop_text_cond=False)
+    assert np.isfinite(float(out.loss))
+
+
+def test_e2tts_freq_tokens():
+    model = small_e2tts(num_freq_tokens=2)
+    model.eval()
+    mel = jax.random.normal(jax.random.key(0), (1, 16, 100))
+    out = model(mel, text=['abc'], key=jax.random.key(1), drop_text_cond=False)
+    assert np.isfinite(float(out.loss))
+
+
+def test_e2tts_overfits_one_batch():
+    """End-to-end sanity: a few ADAM steps reduce the flow-matching loss on a
+    fixed batch with a fixed PRNG key (SURVEY.md §4 overfit test)."""
+    import optax
+
+    model = small_e2tts()
+    model.eval()   # disable dropout for determinism
+    mel = jax.random.normal(jax.random.key(0), (2, 24, 100)) * 0.5
+    text = jnp.asarray(model.tokenizer(['aa', 'bb']))
+
+    tx = optax.adam(1e-3)
+    optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
+
+    @nnx.jit
+    def step(model, optimizer, key):
+        def loss_fn(m):
+            return m(mel, text=text, key=key, drop_text_cond=False).loss
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        optimizer.update(model, grads)
+        return loss
+
+    losses = [float(step(model, optimizer, jax.random.key(5))) for _ in range(30)]
+    assert losses[-1] < losses[0] * 0.7, f'no learning: {losses[0]} -> {losses[-1]}'
