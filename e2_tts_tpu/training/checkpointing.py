@@ -1,0 +1,68 @@
+"""Checkpoint / resume via orbax (reference: single torch.save dict of
+{model, optimizer, ema_model, scheduler, step} with auto-resume at train
+start, trainer.py:202-228, 241).
+
+Here the checkpoint is one pytree: {model, opt, ema, step}. The schedule
+needs no state — it is a pure function of `step`. Saves are atomic (orbax)
+and auto-resume restores into the live NNX modules in place.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from flax import nnx
+
+import orbax.checkpoint as ocp
+
+from e2_tts_tpu.utils.helpers import exists
+
+
+# PRNG streams are excluded: typed key arrays don't serialise and the
+# streams are reconstructible — everything learnable/stateful is saved.
+_SAVED = nnx.Not(nnx.RngState)
+
+
+def _pure(state) -> dict:
+    return jax.tree.map(lambda x: np.asarray(x), nnx.to_pure_dict(state))
+
+
+def save_checkpoint(path: str, *, model, optimizer=None, ema=None, step: int = 0):
+    """Write {model, opt, ema, step} to `path` (a directory), atomically
+    replacing any previous checkpoint."""
+    path = os.path.abspath(path)
+    item = dict(model=_pure(nnx.state(model, _SAVED)), step=np.asarray(step, dtype=np.int64))
+    if exists(optimizer):
+        item['opt'] = _pure(nnx.state(optimizer, _SAVED))
+    if exists(ema):
+        item['ema'] = _pure(nnx.state(ema, _SAVED))
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, item, force=True)
+    ckptr.close()
+
+
+def load_checkpoint(path: str, *, model, optimizer=None, ema=None) -> int:
+    """Restore in place; returns the saved step (0 if no checkpoint)."""
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        return 0
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(path)
+    ckptr.close()
+
+    def _update(module, pure):
+        state = nnx.state(module, _SAVED)
+        nnx.replace_by_pure_dict(state, pure)
+        nnx.update(module, state)
+
+    _update(model, restored['model'])
+    if exists(optimizer) and 'opt' in restored:
+        _update(optimizer, restored['opt'])
+    if exists(ema) and 'ema' in restored:
+        _update(ema, restored['ema'])
+
+    return int(restored['step'])

@@ -1,0 +1,263 @@
+"""E2Trainer — data-parallel trainer (reference: trainer.py:135-304).
+
+TPU-native redesign of the Accelerate/DDP trainer:
+
+- one jitted train step (loss + grad + ADOPT update + EMA tick, all fused);
+  gradient all-reduce over ICI is inserted by XLA from the data-axis
+  sharding — no NCCL / process groups / `find_unused_parameters`.
+- text-conditioning drop is drawn on the host per optimizer step (the
+  reference also draws it host-side, e2_tts.py:1261) and dispatched as a
+  static arg: exactly two cached step variants.
+- gradient accumulation via optax.MultiSteps (reference: accelerator
+  accumulate ctx, trainer.py:250).
+- linear warmup -> linear decay schedule (trainer.py:233-239), grad-clip 1.0,
+  ADOPT default optimizer, per-step EMA + optional Switch-EMA at the end,
+  orbax checkpoints with auto-resume, TensorBoard scalars/figures with the
+  reference's tag names ('loss', 'lr', 'duration loss', 'epoch average loss',
+  'mel/target|mask|prediction').
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from e2_tts_tpu.models.duration import DurationPredictor
+from e2_tts_tpu.models.e2tts import E2TTS
+from e2_tts_tpu.parallel.mesh import make_mesh, shard_batch, replicate_module
+from e2_tts_tpu.training.adopt import adopt
+from e2_tts_tpu.training.checkpointing import save_checkpoint, load_checkpoint
+from e2_tts_tpu.training.data import collate_fn, iter_batches
+from e2_tts_tpu.training.ema import EMA
+from e2_tts_tpu.utils.helpers import exists, default
+
+try:
+    from loguru import logger
+except ImportError:  # pragma: no cover
+    import logging
+    logger = logging.getLogger('e2_tts_tpu')
+
+
+def linear_warmup_decay_schedule(peak_lr: float, num_warmup_steps: int,
+                                 total_steps: int) -> optax.Schedule:
+    """LinearLR(1e-8 -> 1) then LinearLR(1 -> 1e-8) like the reference
+    (trainer.py:235-239)."""
+    decay_steps = max(total_steps - num_warmup_steps, 1)
+    warmup = optax.linear_schedule(peak_lr * 1e-8, peak_lr, num_warmup_steps)
+    decay = optax.linear_schedule(peak_lr, peak_lr * 1e-8, decay_steps)
+    return optax.join_schedules([warmup, decay], [num_warmup_steps])
+
+
+class E2Trainer:
+
+    def __init__(
+        self,
+        model: E2TTS,
+        optimizer: optax.GradientTransformation | None = None,
+        learning_rate: float = 7.5e-5,
+        num_warmup_steps: int = 20_000,
+        total_steps: int = 1_000_000,     # schedule horizon; the reference
+                                          # derives it from len(dataset)*epochs
+        grad_accumulation_steps: int = 1,
+        duration_predictor: DurationPredictor | None = None,
+        checkpoint_path: str | None = None,
+        log_file: str = 'logs.txt',
+        max_grad_norm: float = 1.0,
+        sample_rate: int = 24_000,        # reference default 22050 is a quirk
+                                          # (SURVEY.md §3.5); mel runs at 24k
+        tensorboard_log_dir: str = 'runs/e2_tts_experiment',
+        mesh=None,                        # None = auto data mesh over devices
+        ema_kwargs: dict = dict(),
+        use_switch_ema: bool = False,
+        use_tensorboard: bool = False,
+        seed: int = 0,
+    ):
+        if hasattr(logger, 'add') and exists(log_file):
+            logger.add(log_file)
+
+        self.model = model
+        self.duration_predictor = duration_predictor
+        self.need_velocity_consistent_loss = model.velocity_consistency_weight > 0.0
+
+        self.ema = EMA(model, include_online_model=False, **ema_kwargs)
+        self.use_switch_ema = use_switch_ema
+
+        self.num_warmup_steps = num_warmup_steps
+        self.max_grad_norm = max_grad_norm
+        self.target_sample_rate = sample_rate
+        self.grad_accumulation_steps = grad_accumulation_steps
+
+        self.schedule = linear_warmup_decay_schedule(
+            learning_rate, num_warmup_steps, total_steps)
+
+        if not exists(optimizer):
+            optimizer = adopt(self.schedule)
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), optimizer)
+        if grad_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, grad_accumulation_steps)
+        self.optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
+
+        # distribution: data mesh, replicated state, sharded batches
+        self.mesh = default(mesh, make_mesh())
+        if len(self.mesh.devices) > 1:
+            replicate_module(self.model, self.mesh)
+            replicate_module(self.optimizer, self.mesh)
+            replicate_module(self.ema, self.mesh)
+
+        self.checkpoint_path = default(checkpoint_path, 'e2tts_ckpt')
+        self.seed = seed
+
+        self.writer = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.writer = SummaryWriter(log_dir=tensorboard_log_dir)
+            except ImportError:
+                logger.warning('tensorboard unavailable; scalar logging disabled')
+
+        self._train_step = self._build_train_step()
+
+    # -- jitted step ---------------------------------------------------------
+
+    def _build_train_step(self):
+
+        @partial(nnx.jit, static_argnames=('drop_text_cond', 'use_velocity'))
+        def train_step(model, optimizer, ema, mel, mel_lens, text_ids, key,
+                       drop_text_cond: bool, use_velocity: bool):
+            teacher = ema.ema_model if use_velocity else None
+
+            def loss_fn(m):
+                out = m(mel, text=text_ids, lens=mel_lens, key=key,
+                        drop_text_cond=drop_text_cond,
+                        velocity_consistency_model=teacher)
+                return out.loss, out
+
+            (loss, out), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+            optimizer.update(model, grads)
+            ema.update(model)
+            return loss, out.cond, out.pred_data
+
+        return train_step
+
+    # -- checkpointing (reference: trainer.py:202-228) -----------------------
+
+    def save_checkpoint(self, step: int):
+        save_checkpoint(self.checkpoint_path, model=self.model,
+                        optimizer=self.optimizer, ema=self.ema, step=step)
+
+    def load_checkpoint(self) -> int:
+        return load_checkpoint(self.checkpoint_path, model=self.model,
+                               optimizer=self.optimizer, ema=self.ema)
+
+    # -- logging -------------------------------------------------------------
+
+    def _log_scalar(self, tag, value, step):
+        if exists(self.writer):
+            self.writer.add_scalar(tag, float(value), step)
+
+    def _log_figure(self, tag, mel, step):
+        if not exists(self.writer):
+            return
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(10, 4))
+            im = ax.imshow(np.asarray(mel).T, aspect='auto', origin='lower',
+                           interpolation='none')
+            plt.colorbar(im, ax=ax)
+            plt.xlabel('Frames')
+            plt.ylabel('Channels')
+            plt.tight_layout()
+            self.writer.add_figure(tag, fig, step)
+            plt.close(fig)
+        except ImportError:
+            pass
+
+    # -- train loop (reference: trainer.py:230-304) --------------------------
+
+    def train(self, train_dataset, epochs: int, batch_size: int,
+              num_workers: int = 0, save_step: int = 1000,
+              frame_bucket: int = 64):
+        import random as py_random
+
+        model = self.model
+        rng = py_random.Random(self.seed)
+
+        start_step = self.load_checkpoint()
+        global_step = start_step
+        key = jax.random.key(self.seed + start_step)
+
+        for epoch in range(epochs):
+            model.train()
+            epoch_loss, n_batches = 0.0, 0
+
+            for batch in iter_batches(train_dataset, batch_size,
+                                      shuffle=True, seed=self.seed + epoch,
+                                      frame_bucket=frame_bucket):
+                mel = np.ascontiguousarray(np.moveaxis(batch['mel'], 1, 2))  # b n d
+                mel_lens = batch['mel_lengths']
+                text_ids = self.model.tokenizer(batch['text'])
+                # bucket text width too, for jit-cache stability
+                pad_nt = -(-text_ids.shape[1] // 32) * 32
+                text_ids = np.pad(text_ids, ((0, 0), (0, pad_nt - text_ids.shape[1])),
+                                  constant_values=-1)
+
+                device_batch = dict(mel=jnp.asarray(mel),
+                                    mel_lens=jnp.asarray(mel_lens),
+                                    text=jnp.asarray(text_ids))
+                if len(self.mesh.devices) > 1:
+                    device_batch = shard_batch(device_batch, self.mesh)
+
+                # duration-predictor side loss: computed & logged, never
+                # backpropagated — faithful to the reference (trainer.py:255-257)
+                if exists(self.duration_predictor):
+                    dur_loss = self.duration_predictor(
+                        device_batch['mel'], lens=device_batch['mel_lens'],
+                        return_loss=True)
+                    self._log_scalar('duration loss', dur_loss, global_step)
+
+                use_velocity = (self.need_velocity_consistent_loss
+                                and bool(jax.device_get(self.ema.initted)))
+                drop_text_cond = rng.random() < model.cond_drop_prob
+
+                key, step_key = jax.random.split(key)
+                loss, cond, pred_data = self._train_step(
+                    model, self.optimizer, self.ema,
+                    device_batch['mel'], device_batch['mel_lens'],
+                    device_batch['text'], step_key,
+                    drop_text_cond, use_velocity)
+
+                loss_f = float(jax.device_get(loss))
+                if hasattr(logger, 'info'):
+                    logger.info(f'step {global_step + 1}: loss = {loss_f:.4f}')
+                self._log_scalar('loss', loss_f, global_step)
+                self._log_scalar('lr', self.schedule(global_step), global_step)
+
+                global_step += 1
+                epoch_loss += loss_f
+                n_batches += 1
+
+                if global_step % save_step == 0:
+                    self.save_checkpoint(global_step)
+                    self._log_figure('mel/target', mel[0], global_step)
+                    self._log_figure('mel/mask', jax.device_get(cond)[0], global_step)
+                    self._log_figure('mel/prediction', jax.device_get(pred_data)[0], global_step)
+
+            if n_batches:
+                avg = epoch_loss / n_batches
+                if hasattr(logger, 'info'):
+                    logger.info(f'epoch {epoch + 1}/{epochs} - average loss = {avg:.4f}')
+                self._log_scalar('epoch average loss', avg, epoch)
+
+        if self.use_switch_ema:
+            self.ema.update_model_with_ema(model)
+
+        if exists(self.writer):
+            self.writer.close()

@@ -1,0 +1,234 @@
+"""Trainer-stack tests: ADOPT, EMA/Switch-EMA, schedule, data pipeline,
+checkpoint/resume, and an end-to-end training loop on the 8-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+
+from e2_tts_tpu.models.e2tts import E2TTS
+from e2_tts_tpu.training.adopt import adopt, scale_by_adopt
+from e2_tts_tpu.training.ema import EMA
+from e2_tts_tpu.training.trainer import E2Trainer, linear_warmup_decay_schedule
+from e2_tts_tpu.training.data import ArrayDataset, collate_fn, iter_batches, resample_audio
+from e2_tts_tpu.training.checkpointing import save_checkpoint, load_checkpoint
+from e2_tts_tpu.parallel.mesh import make_mesh, shard_batch
+
+SMALL_TF = dict(dim=64, depth=2, heads=2, dim_head=16, ff_mult=2,
+                num_registers=2, max_seq_len=256, kernel_size=7, dropout=0.0,
+                num_residual_streams=1, attn_backend='xla')
+
+
+def small_e2tts(**kwargs):
+    return E2TTS(transformer=dict(**SMALL_TF), rngs=nnx.Rngs(0), **kwargs)
+
+
+# -- ADOPT -------------------------------------------------------------------
+
+def test_adopt_first_step_no_update():
+    params = {'w': jnp.ones(4)}
+    tx = scale_by_adopt()
+    state = tx.init(params)
+    grads = {'w': jnp.full(4, 0.5)}
+    updates, state = tx.update(grads, state, params)
+    np.testing.assert_array_equal(np.asarray(updates['w']), np.zeros(4))
+    # v primed with g^2
+    np.testing.assert_allclose(np.asarray(state.v['w']), 0.25 * np.ones(4), rtol=1e-6)
+
+
+def test_adopt_descends_quadratic():
+    params = jnp.array([3.0, -2.0])
+    tx = adopt(1e-1)
+    state = tx.init(params)
+    for _ in range(120):
+        grads = 2 * params
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(jnp.abs(params).max()) < 0.3
+
+
+def test_adopt_scale_invariance_atan2():
+    """atan2 normalisation makes the update invariant to gradient scale."""
+    tx = scale_by_adopt(use_atan2=True)
+    p = jnp.ones(3)
+    for scale in [1.0, 1e6]:
+        state = tx.init(p)
+        g = jnp.full(3, 0.7) * scale
+        _, state = tx.update(g, state, p)          # primes v
+        u, _ = tx.update(g, state, p)
+        if scale == 1.0:
+            u_ref = u
+    np.testing.assert_allclose(np.asarray(u['w'] if isinstance(u, dict) else u),
+                               np.asarray(u_ref), rtol=1e-5)
+
+
+# -- schedule ----------------------------------------------------------------
+
+def test_linear_warmup_decay_schedule():
+    sched = linear_warmup_decay_schedule(1.0, 10, 110)
+    assert float(sched(0)) < 1e-6
+    np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-5)
+    assert float(sched(60)) == pytest.approx(0.5, rel=1e-2)
+    assert float(sched(110)) < 1e-6
+
+
+# -- EMA ---------------------------------------------------------------------
+
+def test_ema_copies_then_smooths():
+    model = small_e2tts()
+    ema = EMA(model, update_after_step=2, update_every=1)
+
+    p0 = jax.tree.leaves(nnx.state(model, nnx.Param))[0]
+
+    # mutate online params
+    for leaf in jax.tree.leaves(nnx.state(model, nnx.Param)):
+        pass
+    state = nnx.state(model, nnx.Param)
+    state = jax.tree.map(lambda x: x + 1.0, state)
+    nnx.update(model, state)
+
+    # first updates copy (warmup), later ones smooth
+    for _ in range(3):
+        ema.update(model)
+    ema_leaf = jax.tree.leaves(nnx.state(ema.ema_model, nnx.Param))[0]
+    online_leaf = jax.tree.leaves(nnx.state(model, nnx.Param))[0]
+    np.testing.assert_allclose(np.asarray(ema_leaf), np.asarray(online_leaf), atol=1e-6)
+    assert bool(ema.initted)
+
+    # now move online again: ema should lag (decay ramp is 0 at the first
+    # post-warmup step, ~0.37 at the second — ema-pytorch semantics)
+    ema.update(model)
+    state = jax.tree.map(lambda x: x + 1.0, nnx.state(model, nnx.Param))
+    nnx.update(model, state)
+    ema.update(model)
+    ema_leaf = jax.tree.leaves(nnx.state(ema.ema_model, nnx.Param))[0]
+    online_leaf = jax.tree.leaves(nnx.state(model, nnx.Param))[0]
+    diff = float(jnp.abs(ema_leaf - online_leaf).max())
+    assert diff > 1e-4   # lags behind
+
+
+def test_switch_ema():
+    model = small_e2tts()
+    ema = EMA(model, update_after_step=0, update_every=1)
+    ema.update(model)
+    state = jax.tree.map(lambda x: x + 5.0, nnx.state(model, nnx.Param))
+    nnx.update(model, state)
+    ema.update_model_with_ema(model)
+    online_leaf = jax.tree.leaves(nnx.state(model, nnx.Param))[0]
+    ema_leaf = jax.tree.leaves(nnx.state(ema.ema_model, nnx.Param))[0]
+    np.testing.assert_allclose(np.asarray(online_leaf), np.asarray(ema_leaf), atol=1e-6)
+
+
+# -- data --------------------------------------------------------------------
+
+def test_collate_bucketing():
+    rng = np.random.default_rng(0)
+    batch = [dict(mel_spec=rng.standard_normal((100, n)).astype(np.float32), text=t)
+             for n, t in [(37, 'hello'), (90, 'world!')]]
+    out = collate_fn(batch, frame_bucket=64)
+    assert out['mel'].shape == (2, 100, 128)    # 90 -> bucket 128
+    np.testing.assert_array_equal(out['mel_lengths'], [37, 90])
+    assert out['text'] == ['hello', 'world!']
+    np.testing.assert_array_equal(out['text_lengths'], [5, 6])
+    # padding is zero
+    assert np.all(out['mel'][0, :, 37:] == 0)
+
+
+def test_iter_batches():
+    ds = ArrayDataset(
+        [np.zeros((100, 10 + i), dtype=np.float32) for i in range(5)],
+        [f't{i}' for i in range(5)])
+    batches = list(iter_batches(ds, 2, seed=0, frame_bucket=16))
+    assert len(batches) == 2   # drop_last
+    for b in batches:
+        assert b['mel'].shape[0] == 2
+
+
+def test_resample_audio():
+    t = np.linspace(0, 1, 48000, endpoint=False)
+    wave = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = resample_audio(wave, 48000, 24000)
+    assert abs(len(out) - 24000) <= 1
+    # energy preserved approximately
+    assert abs(np.std(out) - np.std(wave)) < 0.05
+    assert resample_audio(wave, 24000, 24000) is wave
+
+
+# -- checkpointing -----------------------------------------------------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = small_e2tts()
+    tx = optax.adam(1e-3)
+    opt = nnx.Optimizer(model, tx, wrt=nnx.Param)
+    ema = EMA(model, update_after_step=0, update_every=1)
+    path = str(tmp_path / 'ckpt')
+
+    save_checkpoint(path, model=model, optimizer=opt, ema=ema, step=42)
+
+    model2 = E2TTS(transformer=dict(**SMALL_TF), rngs=nnx.Rngs(99))
+    opt2 = nnx.Optimizer(model2, tx, wrt=nnx.Param)
+    ema2 = EMA(model2, update_after_step=0, update_every=1)
+    step = load_checkpoint(path, model=model2, optimizer=opt2, ema=ema2)
+
+    assert step == 42
+    l1 = jax.tree.leaves(nnx.state(model, nnx.Param))
+    l2 = jax.tree.leaves(nnx.state(model2, nnx.Param))
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_load_checkpoint_missing_returns_zero(tmp_path):
+    model = small_e2tts()
+    assert load_checkpoint(str(tmp_path / 'nope'), model=model) == 0
+
+
+# -- end-to-end trainer on the 8-device mesh ---------------------------------
+
+def _toy_dataset(n=16, frames=32):
+    rng = np.random.default_rng(0)
+    mels = [rng.standard_normal((100, frames)).astype(np.float32) * 0.3
+            for _ in range(n)]
+    texts = ['hello world'] * n
+    return ArrayDataset(mels, texts)
+
+
+def test_trainer_end_to_end(tmp_path):
+    model = small_e2tts()
+    trainer = E2Trainer(
+        model,
+        learning_rate=1e-3,
+        num_warmup_steps=2,
+        total_steps=50,
+        checkpoint_path=str(tmp_path / 'ckpt'),
+        log_file=None,
+        seed=0,
+    )
+    assert len(trainer.mesh.devices) == 8    # virtual CPU mesh
+    trainer.train(_toy_dataset(), epochs=2, batch_size=8, save_step=2)
+    # checkpoint written and resumable
+    step = trainer.load_checkpoint()
+    assert step >= 2
+
+
+def test_trainer_grad_accumulation(tmp_path):
+    model = small_e2tts()
+    trainer = E2Trainer(
+        model, learning_rate=1e-3, num_warmup_steps=1, total_steps=50,
+        grad_accumulation_steps=2,
+        checkpoint_path=str(tmp_path / 'ckpt'), log_file=None)
+    trainer.train(_toy_dataset(n=8), epochs=1, batch_size=8, save_step=100)
+
+
+def test_trainer_switch_ema_and_velocity(tmp_path):
+    model = small_e2tts(velocity_consistency_weight=0.1)
+    trainer = E2Trainer(
+        model, learning_rate=1e-3, num_warmup_steps=1, total_steps=50,
+        use_switch_ema=True,
+        ema_kwargs=dict(update_after_step=0, update_every=1),
+        checkpoint_path=str(tmp_path / 'ckpt'), log_file=None)
+    trainer.train(_toy_dataset(n=16), epochs=2, batch_size=8, save_step=100)
+    assert bool(trainer.ema.initted)
