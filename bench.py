@@ -1,0 +1,148 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric: `sample()` real-time-factor at NFE=32 (driver target from
+BASELINE.md: RTF < 0.05 on one v5e chip; vs_baseline = 0.05 / measured, so
+>1 beats the target). Extras carry the train-step throughput
+(mel-frames/sec/chip) and an analytic comparison against an estimated
+reference-on-H100 number (see BENCH_NOTES.md for the estimate's assumptions).
+
+Run from the repo root on the TPU: `python bench.py`.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+from flax import nnx  # noqa: E402
+
+from e2_tts_tpu.models.e2tts import E2TTS  # noqa: E402
+
+# flagship config (reference README.md:38-57: dim=512, depth=8)
+DIM, DEPTH, HEADS, DIM_HEAD = 512, 8, 8, 64
+TRAIN_BATCH, TRAIN_FRAMES = 16, 1024
+SAMPLE_FRAMES, NFE_STEPS = 1024, 32
+FRAMES_PER_SEC = 24_000 / 256          # 93.75 mel frames per audio second
+RTF_TARGET = 0.05
+
+
+def flagship(dropout=0.0):
+    return E2TTS(
+        transformer=dict(dim=DIM, depth=DEPTH, heads=HEADS, dim_head=DIM_HEAD,
+                         dropout=dropout, attn_backend='auto'),
+        rngs=nnx.Rngs(0),
+        dtype=jnp.bfloat16,
+    )
+
+
+def analytic_flops_per_frame(n=TRAIN_FRAMES):
+    """Matmul-only forward FLOPs per mel frame (MACs x2)."""
+    d, dt = DIM, DIM // 2
+    inner_s = ((int(d * 4 * 2 / 3) + 63) // 64) * 64
+    inner_t = ((int(dt * 4 * 2 / 3) + 63) // 64) * 64
+    speech = 4 * d * d + 2 * n * d + (d * inner_s * 2 + inner_s * d) + d * d // 2
+    text = 4 * dt * (HEADS * DIM_HEAD) + 2 * n * HEADS * DIM_HEAD \
+        + (dt * inner_t * 2 + inner_t * dt)
+    return 2 * DEPTH * (speech + text)
+
+
+def bench_train_step():
+    import optax
+    from e2_tts_tpu.training.adopt import adopt
+
+    model = flagship(dropout=0.0)
+    model.eval()   # dropout off in the timed step; rng noise still drawn per step
+    optimizer = nnx.Optimizer(model, optax.chain(
+        optax.clip_by_global_norm(1.0), adopt(7.5e-5)), wrt=nnx.Param)
+
+    mel = jax.random.normal(jax.random.key(0),
+                            (TRAIN_BATCH, TRAIN_FRAMES, 100), dtype=jnp.bfloat16)
+    lens = jnp.full((TRAIN_BATCH,), TRAIN_FRAMES, dtype=jnp.int32)
+    text = jnp.asarray(
+        np.random.default_rng(0).integers(32, 120, (TRAIN_BATCH, 64)), dtype=jnp.int32)
+
+    @nnx.jit
+    def step(model, optimizer, key):
+        def loss_fn(m):
+            return m(mel, text=text, lens=lens, key=key, drop_text_cond=False).loss
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        optimizer.update(model, grads)
+        return loss
+
+    key = jax.random.key(1)
+    step(model, optimizer, key).block_until_ready()   # compile
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        loss = step(model, optimizer, jax.random.key(i))
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames_per_sec = TRAIN_BATCH * TRAIN_FRAMES / dt
+    return dict(step_ms=dt * 1e3, frames_per_sec=frames_per_sec,
+                loss=float(loss))
+
+
+def bench_sample():
+    model = flagship(dropout=0.0)
+
+    prompt = jax.random.normal(jax.random.key(0), (1, 256, 100),
+                               dtype=jnp.bfloat16) * 0.3
+    text = ['the quick brown fox jumps over the lazy dog ' * 3]
+
+    def run(key):
+        return model.sample(
+            prompt, text=text, duration=SAMPLE_FRAMES, steps=NFE_STEPS,
+            key=key, return_raw_output=True, duration_bucket=SAMPLE_FRAMES)
+
+    run(jax.random.key(1)).block_until_ready()   # compile
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = run(jax.random.key(i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    audio_seconds = SAMPLE_FRAMES / FRAMES_PER_SEC
+    return dict(sample_s=dt, rtf=dt / audio_seconds)
+
+
+def main():
+    train = bench_train_step()
+    sample = bench_sample()
+
+    # analytic reference-on-H100 estimate (see BENCH_NOTES.md): eager PyTorch
+    # at ~12% bf16 MFU on H100 (989 TFLOP/s peak), fwd+bwd = 3x fwd FLOPs
+    f_frame = analytic_flops_per_frame() * 3
+    h100_ref_frames_per_sec = 0.12 * 989e12 / f_frame
+
+    rtf = sample['rtf']
+    result = {
+        'metric': 'sample_rtf_nfe32',
+        'value': round(rtf, 5),
+        'unit': 'rtf (lower is better; target < 0.05)',
+        'vs_baseline': round(RTF_TARGET / rtf, 3),
+        'extra': {
+            'train_mel_frames_per_sec_per_chip': round(train['frames_per_sec'], 1),
+            'train_step_ms': round(train['step_ms'], 2),
+            'train_loss_finite': bool(np.isfinite(train['loss'])),
+            'sample_seconds_per_utterance': round(sample['sample_s'], 3),
+            'vs_2x_h100_estimate': round(
+                train['frames_per_sec'] / (2 * h100_ref_frames_per_sec), 3),
+            'h100_ref_estimate_frames_per_sec': round(h100_ref_frames_per_sec, 1),
+            'config': f'dim={DIM} depth={DEPTH} bf16, batch={TRAIN_BATCH}x{TRAIN_FRAMES}f',
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

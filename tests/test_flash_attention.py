@@ -1,0 +1,88 @@
+"""Flash attention kernel parity vs the XLA reference path (interpreter mode
+on CPU; the same kernel compiles on TPU — exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import e2_tts_tpu.ops.flash_attention as fa
+from e2_tts_tpu.ops.attention import _xla_attention, attention
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    fa._INTERPRET = True
+    yield
+    fa._INTERPRET = False
+
+
+def make_qkv(b=2, h=2, n=100, dh=32, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    q = jax.random.normal(ks[0], (b, h, n, dh))
+    k = jax.random.normal(ks[1], (b, h, n, dh))
+    v = jax.random.normal(ks[2], (b, h, n, dh))
+    return q, k, v
+
+
+@pytest.mark.parametrize('softclamp', [None, 50.0])
+def test_flash_matches_xla(softclamp):
+    q, k, v = make_qkv()
+    mask = jnp.asarray(np.random.default_rng(0).random((2, 100)) > 0.3)
+    mask = mask.at[:, 0].set(True)   # at least one valid key per row
+
+    ours = fa.flash_attention(q, k, v, mask, softclamp_value=softclamp)
+    ref = _xla_attention(q, k, v, mask, scale=q.shape[-1] ** -0.5,
+                         softclamp_value=softclamp, dropout_rate=0.0,
+                         dropout_rng=None)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_no_mask():
+    q, k, v = make_qkv(n=64)
+    ours = fa.flash_attention(q, k, v, None, softclamp_value=50.0)
+    ref = _xla_attention(q, k, v, None, scale=q.shape[-1] ** -0.5,
+                         softclamp_value=50.0, dropout_rate=0.0, dropout_rng=None)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_gradients_match_xla():
+    q, k, v = make_qkv(b=1, h=2, n=40, dh=16)
+    mask = jnp.ones((1, 40), dtype=bool).at[0, 30:].set(False)
+
+    def loss_flash(q, k, v):
+        return (fa.flash_attention(q, k, v, mask, softclamp_value=50.0) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        out = _xla_attention(q, k, v, mask, scale=q.shape[-1] ** -0.5,
+                             softclamp_value=50.0, dropout_rate=0.0,
+                             dropout_rng=None)
+        return (out ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_attention_op_backend_dispatch():
+    """'pallas' backend via the public op matches 'xla', incl. LASER compose."""
+    q, k, v = make_qkv(n=48)
+    mask = jnp.ones((2, 48), dtype=bool)
+    for laser in (False, True):
+        out_p = attention(q, k, v, mask, softclamp_value=50.0, laser=laser,
+                          backend='pallas')
+        out_x = attention(q, k, v, mask, softclamp_value=50.0, laser=laser,
+                          backend='xla')
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_flash_bf16():
+    q, k, v = (t.astype(jnp.bfloat16) for t in make_qkv(n=64))
+    out = fa.flash_attention(q, k, v, None, softclamp_value=50.0)
+    assert out.dtype == jnp.bfloat16
+    ref = _xla_attention(q, k, v, None, scale=q.shape[-1] ** -0.5,
+                         softclamp_value=50.0, dropout_rate=0.0, dropout_rng=None)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref, dtype=np.float32), atol=3e-2)
