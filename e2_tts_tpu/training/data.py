@@ -16,9 +16,16 @@ from e2_tts_tpu.utils.helpers import exists, default, round_up_to_multiple
 
 def resample_audio(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Host-side resampling (reference reaches torchaudio's C++ resampler,
-    trainer.py:117). Polyphase via scipy when available, linear fallback."""
+    trainer.py:117). Native C++ polyphase (native/audioprep.cc) when built,
+    then scipy, then linear fallback."""
     if orig_sr == target_sr:
         return audio
+
+    from e2_tts_tpu import native
+    out = native.resample(audio, orig_sr, target_sr)
+    if out is not None:
+        return out
+
     try:
         from scipy.signal import resample_poly
         from math import gcd
