@@ -116,8 +116,11 @@ def bench_sample():
 
 
 def main():
+    import sys
     train = bench_train_step()
+    print(f"# train: {train}", file=sys.stderr, flush=True)
     sample = bench_sample()
+    print(f"# sample: {sample}", file=sys.stderr, flush=True)
 
     # analytic reference-on-H100 estimate (see BENCH_NOTES.md): eager PyTorch
     # at ~12% bf16 MFU on H100 (989 TFLOP/s peak), fwd+bwd = 3x fwd FLOPs

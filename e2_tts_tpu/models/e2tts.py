@@ -23,6 +23,7 @@ TPU design notes:
 from __future__ import annotations
 
 from collections import namedtuple
+from functools import partial
 from random import random as py_random
 
 import jax
@@ -45,6 +46,32 @@ from e2_tts_tpu.utils.tensor import project
 LossBreakdown = namedtuple('LossBreakdown', ['flow', 'velocity_consistency'])
 
 E2TTSReturn = namedtuple('E2TTS', ['loss', 'cond', 'pred_flow', 'pred_data', 'loss_breakdown'])
+
+
+@partial(nnx.jit, static_argnames=('steps', 'method', 'cfg_strength',
+                                   'remove_parallel_component',
+                                   'keep_parallel_frac'))
+def _sample_ode(model, null_model, cond, cond_mask, mask, text, key, *,
+                steps, method, cfg_strength, remove_parallel_component=True,
+                keep_parallel_frac=0.0):
+    """Jitted ODE sampling core. Cached across `sample()` calls (keyed on the
+    module graph + static args + shapes) — the whole NFE loop is one compiled
+    `lax.scan` on device."""
+    batch = cond.shape[0]
+    y0 = jax.random.normal(key, cond.shape, dtype=cond.dtype)
+    t = jnp.linspace(0.0, 1.0, steps)
+    step_cond = jnp.where(cond_mask, cond, 0.0)
+
+    def fn(t_scalar, x):
+        return model.cfg_transformer_with_pred_head(
+            x, step_cond, jnp.broadcast_to(t_scalar, (batch,)),
+            text=text, mask=mask,
+            cfg_strength=cfg_strength, cfg_null_model=null_model,
+            remove_parallel_component=remove_parallel_component,
+            keep_parallel_frac=keep_parallel_frac)
+
+    sampled = odeint(fn, y0, t, method=method)
+    return jnp.where(cond_mask, cond, sampled)
 
 
 def masked_mse(pred, target, span_mask):
@@ -321,20 +348,11 @@ class E2TTS(nnx.Module):
         mask = lens_to_mask(duration, length=padded_t)
 
         key = default(key, self.rngs.sample())
-        y0 = jax.random.normal(key, cond.shape, dtype=cond.dtype)
-        t = jnp.linspace(0.0, 1.0, steps)
 
-        step_cond = jnp.where(cond_mask, cond, 0.0)
-
-        def fn(t_scalar, x):
-            return self.cfg_transformer_with_pred_head(
-                x, step_cond, jnp.broadcast_to(t_scalar, (batch,)),
-                text=text, mask=mask,
-                cfg_strength=cfg_strength, cfg_null_model=cfg_null_model)
-
-        sampled = odeint(fn, y0, t, method=self.odeint_kwargs.get('method', 'midpoint'))
-
-        out = jnp.where(cond_mask, cond, sampled)
+        out = _sample_ode(
+            self, cfg_null_model, cond, cond_mask, mask, text, key,
+            steps=steps, method=self.odeint_kwargs.get('method', 'midpoint'),
+            cfg_strength=float(cfg_strength))
         out = out[:, :tmax]
         mask = mask[:, :tmax]
 

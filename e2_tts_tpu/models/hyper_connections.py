@@ -63,30 +63,39 @@ class HyperConnection(nnx.Module):
             return x, lambda branch_out: (x + branch_out)[None]
 
         dtype = residuals.dtype
-        rf = residuals.astype(jnp.float32)
 
-        # rms-normalise per position for the dynamic weight computation
-        normed = rf * jax.lax.rsqrt(jnp.clip((rf * rf).mean(-1, keepdims=True), min=1e-12))
+        # rms-normalise per position for the dynamic weight computation; the
+        # norm statistic accumulates in fp32, the streams stay in compute
+        # dtype (bf16) — these mixes are bandwidth-bound, fp32 would double
+        # HBM traffic for no useful precision (weights are tanh-bounded 1e-2)
+        sq = jnp.einsum('sbnd,sbnd->sbn', residuals, residuals,
+                        preferred_element_type=jnp.float32)
+        inv = jax.lax.rsqrt(jnp.clip(sq / residuals.shape[-1], min=1e-12))
+        normed = residuals * inv[..., None].astype(dtype)
 
         dyn_alpha = jnp.tanh(
-            jnp.einsum('sbnd,dt->sbnt', normed, self.dynamic_alpha_fn[...].astype(jnp.float32))
-        ) * self.dynamic_alpha_scale[...].astype(jnp.float32)
-        alpha = dyn_alpha + self.static_alpha[...].astype(jnp.float32)[:, None, None, :]  # (s,b,n,s+1)
+            jnp.einsum('sbnd,dt->sbnt', normed,
+                       self.dynamic_alpha_fn[...].astype(dtype),
+                       preferred_element_type=jnp.float32)
+        ) * self.dynamic_alpha_scale[...]
+        alpha = (dyn_alpha + self.static_alpha[...][:, None, None, :]).astype(dtype)
 
         dyn_beta = jnp.tanh(
-            jnp.einsum('sbnd,d->sbn', normed, self.dynamic_beta_fn[...].astype(jnp.float32))
-        ) * self.dynamic_beta_scale[...].astype(jnp.float32)
-        beta = dyn_beta + self.static_beta[...].astype(jnp.float32)[:, None, None]        # (s,b,n)
+            jnp.einsum('sbnd,d->sbn', normed,
+                       self.dynamic_beta_fn[...].astype(dtype),
+                       preferred_element_type=jnp.float32)
+        ) * self.dynamic_beta_scale[...]
+        beta = (dyn_beta + self.static_beta[...][:, None, None]).astype(dtype)  # (s,b,n)
 
         # width connection: mix streams into branch input + carried streams
-        mixed = jnp.einsum('sbnt,sbnd->tbnd', alpha, rf)          # (s+1, b, n, d)
-        branch_input = mixed[0].astype(dtype)
+        mixed = jnp.einsum('sbnt,sbnd->tbnd', alpha, residuals,
+                           preferred_element_type=jnp.float32).astype(dtype)
+        branch_input = mixed[0]
         carried = mixed[1:]
 
         def add_residual(branch_out: jax.Array) -> jax.Array:
             # depth connection: write branch output into every stream
-            out = carried + jnp.einsum('bnd,sbn->sbnd', branch_out.astype(jnp.float32), beta)
-            return out.astype(dtype)
+            return carried + branch_out[None].astype(dtype) * beta[..., None]
 
         return branch_input, add_residual
 

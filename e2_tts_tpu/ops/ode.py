@@ -65,7 +65,9 @@ def odeint(
     t_pairs = jnp.stack((t[:-1], t[1:]), axis=-1)   # (steps-1, 2)
 
     def scan_body(y, t01):
-        y_next = stepper(fn, t01[0], t01[1], y)
+        # time arithmetic stays fp32; cast back so the scan carry dtype is
+        # stable when integrating bf16 states
+        y_next = stepper(fn, t01[0], t01[1], y).astype(y.dtype)
         return y_next, (y_next if return_trajectory else None)
 
     y_final, ys = jax.lax.scan(scan_body, y0, t_pairs)
