@@ -62,34 +62,28 @@ class HyperConnection(nnx.Module):
             x = residuals[0]
             return x, lambda branch_out: (x + branch_out)[None]
 
+        from e2_tts_tpu.ops import hyper_conn_kernel as hck
+
         dtype = residuals.dtype
+        s, b, n, d = residuals.shape
+        params = (
+            self.static_alpha[...], self.static_beta[...],
+            self.dynamic_alpha_fn[...], self.dynamic_alpha_scale[...],
+            self.dynamic_beta_fn[...], self.dynamic_beta_scale[...],
+        )
 
-        # rms-normalise per position for the dynamic weight computation; the
-        # norm statistic accumulates in fp32, the streams stay in compute
-        # dtype (bf16) — these mixes are bandwidth-bound, fp32 would double
-        # HBM traffic for no useful precision (weights are tanh-bounded 1e-2)
-        sq = jnp.einsum('sbnd,sbnd->sbn', residuals, residuals,
-                        preferred_element_type=jnp.float32)
-        inv = jax.lax.rsqrt(jnp.clip(sq / residuals.shape[-1], min=1e-12))
-        normed = residuals * inv[..., None].astype(dtype)
+        # width connection: one fused VMEM pass on TPU (Pallas); the pure-XLA
+        # reference path everywhere else. Both share the same math
+        # (ops/hyper_conn_kernel.py); norm stats in fp32, streams in compute
+        # dtype — the mix is bandwidth-bound.
+        flat = residuals.reshape(s, b * n, d)
+        if jax.default_backend() == 'tpu' or hck._INTERPRET:
+            mixed, beta = hck.width_connection(flat, *params)
+        else:
+            mixed, beta = hck._width_reference(flat, *params)
+        mixed = mixed.reshape(s + 1, b, n, d)
+        beta = beta.reshape(s, b, n)
 
-        dyn_alpha = jnp.tanh(
-            jnp.einsum('sbnd,dt->sbnt', normed,
-                       self.dynamic_alpha_fn[...].astype(dtype),
-                       preferred_element_type=jnp.float32)
-        ) * self.dynamic_alpha_scale[...]
-        alpha = (dyn_alpha + self.static_alpha[...][:, None, None, :]).astype(dtype)
-
-        dyn_beta = jnp.tanh(
-            jnp.einsum('sbnd,d->sbn', normed,
-                       self.dynamic_beta_fn[...].astype(dtype),
-                       preferred_element_type=jnp.float32)
-        ) * self.dynamic_beta_scale[...]
-        beta = (dyn_beta + self.static_beta[...][:, None, None]).astype(dtype)  # (s,b,n)
-
-        # width connection: mix streams into branch input + carried streams
-        mixed = jnp.einsum('sbnt,sbnd->tbnd', alpha, residuals,
-                           preferred_element_type=jnp.float32).astype(dtype)
         branch_input = mixed[0]
         carried = mixed[1:]
 
