@@ -76,6 +76,8 @@ class E2Trainer:
         ema_kwargs: dict = dict(),
         use_switch_ema: bool = False,
         use_tensorboard: bool = False,
+        profile_dir: str | None = None,   # jax.profiler trace output (Perfetto/TB)
+        profile_steps: tuple[int, int] = (10, 15),  # [start, stop) steps to trace
         seed: int = 0,
     ):
         if hasattr(logger, 'add') and exists(log_file):
@@ -112,6 +114,9 @@ class E2Trainer:
 
         self.checkpoint_path = default(checkpoint_path, 'e2tts_ckpt')
         self.seed = seed
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self._profiling = False
 
         self.writer = None
         if use_tensorboard:
@@ -154,6 +159,20 @@ class E2Trainer:
     def load_checkpoint(self) -> int:
         return load_checkpoint(self.checkpoint_path, model=self.model,
                                optimizer=self.optimizer, ema=self.ema)
+
+    # -- tracing / profiling (SURVEY.md §5: reference has none; here a
+    # jax.profiler device trace is captured for a configurable step window) --
+
+    def _maybe_profile(self, global_step: int):
+        if not exists(self.profile_dir):
+            return
+        start, stop = self.profile_steps
+        if global_step == start and not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+        elif global_step >= stop and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
 
     # -- logging -------------------------------------------------------------
 
@@ -223,6 +242,8 @@ class E2Trainer:
                         return_loss=True)
                     self._log_scalar('duration loss', dur_loss, global_step)
 
+                self._maybe_profile(global_step)
+
                 use_velocity = (self.need_velocity_consistent_loss
                                 and bool(jax.device_get(self.ema.initted)))
                 drop_text_cond = rng.random() < model.cond_drop_prob
@@ -255,6 +276,10 @@ class E2Trainer:
                 if hasattr(logger, 'info'):
                     logger.info(f'epoch {epoch + 1}/{epochs} - average loss = {avg:.4f}')
                 self._log_scalar('epoch average loss', avg, epoch)
+
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
 
         if self.use_switch_ema:
             self.ema.update_model_with_ema(model)
