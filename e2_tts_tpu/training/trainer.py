@@ -62,8 +62,9 @@ class E2Trainer:
         optimizer: optax.GradientTransformation | None = None,
         learning_rate: float = 7.5e-5,
         num_warmup_steps: int = 20_000,
-        total_steps: int = 1_000_000,     # schedule horizon; the reference
-                                          # derives it from len(dataset)*epochs
+        total_steps: int | None = None,   # schedule horizon; None = derive
+                                          # from len(dataset)*epochs at train()
+                                          # like the reference (trainer.py:233)
         grad_accumulation_steps: int = 1,
         duration_predictor: DurationPredictor | None = None,
         checkpoint_path: str | None = None,
@@ -95,22 +96,18 @@ class E2Trainer:
         self.target_sample_rate = sample_rate
         self.grad_accumulation_steps = grad_accumulation_steps
 
-        self.schedule = linear_warmup_decay_schedule(
-            learning_rate, num_warmup_steps, total_steps)
-
-        if not exists(optimizer):
-            optimizer = adopt(self.schedule)
-        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), optimizer)
-        if grad_accumulation_steps > 1:
-            tx = optax.MultiSteps(tx, grad_accumulation_steps)
-        self.optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
-
         # distribution: data mesh, replicated state, sharded batches
         self.mesh = default(mesh, make_mesh())
         if len(self.mesh.devices) > 1:
             replicate_module(self.model, self.mesh)
-            replicate_module(self.optimizer, self.mesh)
             replicate_module(self.ema, self.mesh)
+
+        self.learning_rate = learning_rate
+        self._user_optimizer = optimizer
+        self.schedule = None
+        self.optimizer = None
+        if exists(total_steps):
+            self._build_optimizer(total_steps)
 
         self.checkpoint_path = default(checkpoint_path, 'e2tts_ckpt')
         self.seed = seed
@@ -127,6 +124,17 @@ class E2Trainer:
                 logger.warning('tensorboard unavailable; scalar logging disabled')
 
         self._train_step = self._build_train_step()
+
+    def _build_optimizer(self, total_steps: int):
+        self.schedule = linear_warmup_decay_schedule(
+            self.learning_rate, self.num_warmup_steps, total_steps)
+        tx = default(self._user_optimizer, adopt(self.schedule))
+        tx = optax.chain(optax.clip_by_global_norm(self.max_grad_norm), tx)
+        if self.grad_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, self.grad_accumulation_steps)
+        self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)
+        if len(self.mesh.devices) > 1:
+            replicate_module(self.optimizer, self.mesh)
 
     # -- jitted step ---------------------------------------------------------
 
@@ -209,6 +217,13 @@ class E2Trainer:
         model = self.model
         rng = py_random.Random(self.seed)
 
+        if not exists(self.optimizer):
+            # schedule horizon from the dataset like the reference
+            # (trainer.py:233-239)
+            steps_per_epoch = max(len(train_dataset) // batch_size, 1)
+            self._build_optimizer(max(steps_per_epoch * epochs,
+                                      self.num_warmup_steps + 1))
+
         start_step = self.load_checkpoint()
         global_step = start_step
         key = jax.random.key(self.seed + start_step)
@@ -259,7 +274,8 @@ class E2Trainer:
                 if hasattr(logger, 'info'):
                     logger.info(f'step {global_step + 1}: loss = {loss_f:.4f}')
                 self._log_scalar('loss', loss_f, global_step)
-                self._log_scalar('lr', self.schedule(global_step), global_step)
+                if exists(self.schedule):
+                    self._log_scalar('lr', self.schedule(global_step), global_step)
 
                 global_step += 1
                 epoch_loss += loss_f
