@@ -107,6 +107,86 @@ class TextLayer(nnx.Module):
             dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
 
+def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
+                   has_freq_axis: bool):
+    """One transformer layer as a standalone function over its modules and
+    carried arrays — so it can be wrapped with nnx.remat (per-layer
+    rematerialisation trades recompute for HBM, enabling larger batches)."""
+
+    def layer_fn(sl, tl, t_hcs, s_hcs, x, text_embed, skip, mask, rotary,
+                 text_rotary, freq_rotary, cond, freq_cond,
+                 attn_v, text_v, freq_v):
+        norm_kwargs = dict(condition=cond) if exists(cond) else {}
+        freq_norm_kwargs = dict(condition=freq_cond) if exists(freq_cond) else {}
+
+        # text stream first, then cross-condition (e2_tts.py:853-883)
+        if exists(text_embed) and exists(tl):
+            t_conv_hc, t_attn_hc, t_ff_hc = t_hcs[0], t_hcs[1], t_hcs[2]
+
+            t_in, add_residual = t_conv_hc(text_embed)
+            text_embed = add_residual(tl.conv(t_in, mask=mask))
+
+            t_in, add_residual = t_attn_hc(text_embed)
+            t_attn_out, t_values = tl.attn(
+                tl.attn_norm(t_in), rotary_pos_emb=text_rotary, mask=mask,
+                value_residual=text_v)
+            text_embed = add_residual(t_attn_out)
+            text_v = default(text_v, t_values)
+
+            t_in, add_residual = t_ff_hc(text_embed)
+            text_embed = add_residual(tl.ff(tl.ff_norm(t_in)))
+
+            x, text_embed = tl.cross_condition(x, text_embed)
+
+        # UNet skips on the speech stream (e2_tts.py:887-896)
+        skip_out = x if push_skip else None
+        if exists(skip):
+            x = jnp.concatenate((x, skip), axis=-1)
+            x = sl.skip_proj(x)
+
+        # position-generating convolution
+        conv_hc, attn_hc, ff_hc = s_hcs[0], s_hcs[1], s_hcs[2]
+        b_in, add_residual = conv_hc(x)
+        x = add_residual(sl.conv(b_in, mask=mask))
+
+        # attention
+        b_in, add_residual = attn_hc(x)
+        h = sl.attn_norm(b_in, **norm_kwargs)
+        h = sl.attn_input_fourier_embed(h)
+        attn_out, values = sl.attn(
+            h, rotary_pos_emb=rotary, mask=mask, value_residual=attn_v)
+        attn_out = sl.attn_adaln_zero(attn_out, **norm_kwargs)
+        x = add_residual(attn_out)
+        attn_v = default(attn_v, values)
+
+        # attention across frequency tokens (e2_tts.py:920-932)
+        if has_freq_axis:
+            freq_hc = s_hcs[3]
+            b_in, add_residual = freq_hc(x)
+            # (b f) n d -> (b n) f d
+            bf, n, d = b_in.shape
+            h = b_in.reshape(orig_batch, freq_seq_len, n, d)
+            h = h.transpose(0, 2, 1, 3).reshape(orig_batch * n, freq_seq_len, d)
+            h = sl.freq_attn_norm(h, **freq_norm_kwargs)
+            f_out, f_values = sl.freq_attn(
+                h, rotary_pos_emb=freq_rotary, value_residual=freq_v)
+            f_out = sl.freq_attn_adaln_zero(f_out, **freq_norm_kwargs)
+            f_out = f_out.reshape(orig_batch, n, freq_seq_len, d)
+            f_out = f_out.transpose(0, 2, 1, 3).reshape(bf, n, d)
+            x = add_residual(f_out)
+            freq_v = default(freq_v, f_values)
+
+        # feedforward
+        b_in, add_residual = ff_hc(x)
+        ff_out = sl.ff(sl.ff_norm(b_in, **norm_kwargs))
+        ff_out = sl.ff_adaln_zero(ff_out, **norm_kwargs)
+        x = add_residual(ff_out)
+
+        return x, text_embed, skip_out, attn_v, text_v, freq_v
+
+    return layer_fn
+
+
 class Transformer(nnx.Module):
 
     def __init__(
@@ -139,6 +219,7 @@ class Transformer(nnx.Module):
         attn_kwargs: dict = dict(gate_value_heads=True, softclamp_logits=True),
         ff_kwargs: dict = dict(),
         attn_backend: str = 'auto',
+        remat: bool = False,
         dtype=None,
         param_dtype=jnp.float32,
         rngs: nnx.Rngs | None = None,
@@ -151,6 +232,7 @@ class Transformer(nnx.Module):
         self.max_seq_len = max_seq_len
         self.cond_on_time = cond_on_time
         self.has_freq_axis = has_freq_axis
+        self.remat = remat
         self.num_registers = num_registers
 
         dim_text = default(dim_text, dim // 2)
@@ -299,6 +381,7 @@ class Transformer(nnx.Module):
 
         # rotary tables
         rotary = self.rotary_emb.forward_from_seq_len(packed_len)
+        text_rotary = freq_rotary = None
         if exists(text_embed):
             text_rotary = self.text_rotary_emb.forward_from_seq_len(packed_len)
             text_registers = jnp.broadcast_to(
@@ -315,82 +398,35 @@ class Transformer(nnx.Module):
             text_embed = expand_stream(text_embed, s)
 
         skips = []
-        attn_first_values = None
-        text_attn_first_values = None
-        freq_attn_first_values = None
+        attn_v = None
+        text_v = None
+        freq_v = None
+
+        cond = norm_kwargs.get('condition')
+        freq_cond = freq_norm_kwargs.get('condition')
+        text_rot = text_rotary
+        freq_rot = freq_rotary
 
         for ind in range(self.depth):
             layer = ind + 1
-            sl = self.speech_layers[ind]
-            s_hcs = self.speech_hcs[ind]
-            tl = self.text_layers[ind]
+            is_first_half = layer <= self.depth // 2
 
-            # text stream first, then cross-condition (e2_tts.py:853-883)
-            if exists(text_embed) and exists(tl):
-                t_conv_hc, t_attn_hc, t_ff_hc = self.text_hcs[ind]
+            layer_fn = _make_layer_fn(orig_batch, freq_seq_len,
+                                      push_skip=is_first_half,
+                                      has_freq_axis=self.has_freq_axis)
+            if self.remat:
+                layer_fn = nnx.remat(layer_fn)
 
-                t_in, add_residual = t_conv_hc(text_embed)
-                text_embed = add_residual(tl.conv(t_in, mask=mask))
+            skip_in = None if is_first_half else skips.pop()
 
-                t_in, add_residual = t_attn_hc(text_embed)
-                t_attn_out, t_values = tl.attn(
-                    tl.attn_norm(t_in), rotary_pos_emb=text_rotary, mask=mask,
-                    value_residual=text_attn_first_values)
-                text_embed = add_residual(t_attn_out)
-                text_attn_first_values = default(text_attn_first_values, t_values)
+            x, text_embed, skip_out, attn_v, text_v, freq_v = layer_fn(
+                self.speech_layers[ind], self.text_layers[ind],
+                self.text_hcs[ind], self.speech_hcs[ind],
+                x, text_embed, skip_in, mask, rotary, text_rot, freq_rot,
+                cond, freq_cond, attn_v, text_v, freq_v)
 
-                t_in, add_residual = t_ff_hc(text_embed)
-                text_embed = add_residual(tl.ff(tl.ff_norm(t_in)))
-
-                x, text_embed = tl.cross_condition(x, text_embed)
-
-            # UNet skips on the speech stream (e2_tts.py:887-896)
-            if layer <= self.depth // 2:
-                skips.append(x)
-            else:
-                skip = skips.pop()
-                x = jnp.concatenate((x, skip), axis=-1)
-                x = sl.skip_proj(x)
-
-            # position-generating convolution
-            conv_hc, attn_hc, ff_hc = s_hcs[0], s_hcs[1], s_hcs[2]
-            b_in, add_residual = conv_hc(x)
-            x = add_residual(sl.conv(b_in, mask=mask))
-
-            # attention
-            b_in, add_residual = attn_hc(x)
-            h = sl.attn_norm(b_in, **norm_kwargs)
-            h = sl.attn_input_fourier_embed(h)
-            attn_out, values = sl.attn(
-                h, rotary_pos_emb=rotary, mask=mask,
-                value_residual=attn_first_values)
-            attn_out = sl.attn_adaln_zero(attn_out, **norm_kwargs)
-            x = add_residual(attn_out)
-            attn_first_values = default(attn_first_values, values)
-
-            # attention across frequency tokens (e2_tts.py:920-932)
-            if self.has_freq_axis:
-                freq_hc = s_hcs[3]
-                b_in, add_residual = freq_hc(x)
-                # (b f) n d -> (b n) f d
-                bf, n, d = b_in.shape
-                h = b_in.reshape(orig_batch, freq_seq_len, n, d)
-                h = h.transpose(0, 2, 1, 3).reshape(orig_batch * n, freq_seq_len, d)
-                h = sl.freq_attn_norm(h, **freq_norm_kwargs)
-                f_out, f_values = sl.freq_attn(
-                    h, rotary_pos_emb=freq_rotary,
-                    value_residual=freq_attn_first_values)
-                f_out = sl.freq_attn_adaln_zero(f_out, **freq_norm_kwargs)
-                f_out = f_out.reshape(orig_batch, n, freq_seq_len, d)
-                f_out = f_out.transpose(0, 2, 1, 3).reshape(bf, n, d)
-                x = add_residual(f_out)
-                freq_attn_first_values = default(freq_attn_first_values, f_values)
-
-            # feedforward
-            b_in, add_residual = ff_hc(x)
-            ff_out = sl.ff(sl.ff_norm(b_in, **norm_kwargs))
-            ff_out = sl.ff_adaln_zero(ff_out, **norm_kwargs)
-            x = add_residual(ff_out)
+            if is_first_half:
+                skips.append(skip_out)
 
         assert len(skips) == 0
 

@@ -49,13 +49,12 @@ def attention(
         # (x-transformers laser flag, e2_tts.py:543-544)
         v = jnp.exp(softclamp(v.astype(jnp.float32), laser_softclamp_value))
 
-    # auto: XLA's fused attention wins slightly up to ~4k tokens on v5e (both
-    # are VPU/transcendental-bound there); the flash kernel avoids the O(n^2)
-    # logits materialisation, which dominates beyond that
+    # auto: the flash kernel (fwd + block-wise bwd) avoids all O(n^2)
+    # materialisation — measured faster end-to-end in training and far
+    # lighter on HBM; XLA handles the attention-prob dropout path
     use_pallas = backend == 'pallas' or (
         backend == 'auto'
         and dropout_rate == 0.0
-        and q.shape[-2] > 4096
         and jax.default_backend() == 'tpu'
     )
 

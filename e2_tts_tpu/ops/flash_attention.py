@@ -7,11 +7,15 @@ matrix in VMEM tiles, fused with the tanh logit softclamp and key-padding
 masking the reference configures. LASER and the per-head value gates compose
 outside the kernel (ops/attention.py, models/blocks.py).
 
-Backward pass: a custom VJP recomputes scores with plain XLA einsums
-(including the softclamp jacobian). At E2-TTS sequence lengths (<= 4k frames)
-the quadratic recompute fits comfortably and keeps the backward on the MXU;
-the forward — which dominates sampling (124 transformer calls per utterance)
-— stays flash.
+Backward: FlashAttention-2-style block-wise kernels (no n^2 materialisation):
+the forward also emits the per-row log-sum-exp; dq is accumulated over key
+blocks, dk/dv over query blocks, with the tanh softclamp jacobian applied to
+the recomputed scores. Peak memory stays O(n * d) — the XLA attention
+backward at (16, 8, 1056) holds multiple 594 MB fp32 score tensors and OOMs
+a v5e chip at larger batch.
+
+All matmuls keep bf16 operands with fp32 accumulation (fp32 MXU passes run
+at 1/4 rate).
 """
 
 from __future__ import annotations
@@ -29,11 +33,13 @@ NEG_INF = -1e30
 _INTERPRET = False   # flipped by tests on CPU
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
-               m_scr, l_scr, acc_scr, *, scale, softclamp_value):
-    """Grid (bh, nq, nk): the kv axis is the innermost ('arbitrary') grid dim,
-    so the Pallas pipeline double-buffers k/v block DMAs against compute;
-    running max / denominator / accumulator live in VMEM scratch."""
+# -- forward -------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale, softclamp_value):
+    """Grid (bh, nq, nk): kv is the innermost ('arbitrary') grid dim so the
+    pipeline double-buffers k/v DMAs against compute; running max/denom/acc
+    live in VMEM scratch."""
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
 
@@ -43,9 +49,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # keep inputs in native (bf16) dtype: the MXU takes bf16 operands with
-    # fp32 accumulation; upcasting first would force 4x-slower fp32 passes
-    q = q_ref[0]                                       # (bq, dh)
+    q = q_ref[0]                                       # (bq, dh) compute dtype
     k = k_ref[0]                                       # (bk, dh)
     v = v_ref[0]
 
@@ -76,11 +80,13 @@ def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
 
     @pl.when(kb == num_kb - 1)
     def _finalise():
-        o_ref[0] = (acc_scr[:] / jnp.clip(l_scr[:, 0], min=1e-30)[:, None]
-                    ).astype(o_ref.dtype)
+        l_fin = jnp.clip(l_scr[:, 0], min=1e-30)
+        o_ref[0] = (acc_scr[:] / l_fin[:, None]).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[:, 0] + jnp.log(l_fin)
 
 
-def _flash_forward(q, k, v, bias, scale, softclamp_value, block_q=512, block_k=512):
+def _flash_forward(q, k, v, bias, scale, softclamp_value,
+                   block_q=512, block_k=512):
     b, h, n, dh = q.shape
     n_pad = round_up_to_multiple(n, max(block_q, block_k))
     block_q = min(block_q, n_pad)
@@ -100,8 +106,8 @@ def _flash_forward(q, k, v, bias, scale, softclamp_value, block_q=512, block_k=5
 
     grid = (b * h, n_pad // block_q, n_pad // block_k)
 
-    out = pl.pallas_call(
-        functools.partial(_fa_kernel, scale=scale,
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale,
                           softclamp_value=softclamp_value),
         grid=grid,
         in_specs=[
@@ -114,9 +120,16 @@ def _flash_forward(q, k, v, bias, scale, softclamp_value, block_q=512, block_k=5
             pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, dh), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, n_pad), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),    # running max
             pltpu.VMEM((block_q, 1), jnp.float32),    # running denom
@@ -127,53 +140,209 @@ def _flash_forward(q, k, v, bias, scale, softclamp_value, block_q=512, block_k=5
         interpret=_INTERPRET,
     )(qf, kf, vf, bias3)
 
-    out = out.reshape(b, h, n_pad, dh)
-    return out[:, :, :n, :]
+    out = out.reshape(b, h, n_pad, dh)[:, :, :n, :]
+    return out, lse, n_pad
 
 
-def _xla_recompute_bwd(res, g):
-    q, k, v, bias, scale, softclamp_value = res
-    s_raw = jnp.einsum('bhid,bhjd->bhij', q, k,
-                       preferred_element_type=jnp.float32) * scale
+def _recompute_p_ds(q, k, bias, lse, do, v, delta, *, scale, softclamp_value):
+    """Shared block math for the backward kernels: recompute probabilities and
+    the score gradient (with the softclamp jacobian). All fp32 block-local."""
+    s_raw = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # (bq, bk)
+
     if exists(softclamp_value):
         th = jnp.tanh(s_raw / softclamp_value)
         s = th * softclamp_value
-        dsoft = 1.0 - th * th
+        jac = 1.0 - th * th
     else:
         s = s_raw
-        dsoft = None
+        jac = None
 
-    s = s + bias[:, None, None, :]
-    p = jax.nn.softmax(s, axis=-1)
+    s = s + bias
+    p = jnp.exp(s - lse)                                   # (bq, bk)
 
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum('bhij,bhid->bhjd', p, g32, preferred_element_type=jnp.float32)
-    dp = jnp.einsum('bhid,bhjd->bhij', g32, v32, preferred_element_type=jnp.float32)
-    ds = p * (dp - (dp * p).sum(-1, keepdims=True))
-    if exists(dsoft):
-        ds = ds * dsoft
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (bq, bk)
+    ds = p * (dp - delta)
+    if exists(jac):
+        ds = ds * jac
     ds = ds * scale
+    return p, ds
 
-    dq = jnp.einsum('bhij,bhjd->bhid', ds, k.astype(jnp.float32))
-    dk = jnp.einsum('bhij,bhid->bhjd', ds, q.astype(jnp.float32))
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            jnp.zeros_like(bias))
 
+def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
+               dq_ref, dq_scr, *, scale, softclamp_value):
+    """Grid (bh, nq, nk): accumulate dq over key blocks."""
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    p, ds = _recompute_p_ds(
+        q_ref[0], k_ref[0], bias_ref[0, 0][None, :],
+        lse_ref[0, 0][:, None], do_ref[0], v_ref[0],
+        delta_ref[0, 0][:, None], scale=scale, softclamp_value=softclamp_value)
+
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kb == num_kb - 1)
+    def _done():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale, softclamp_value):
+    """Grid (bh, nk, nq): accumulate dk/dv over query blocks."""
+    qb = pl.program_id(2)
+    num_qb = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    p, ds = _recompute_p_ds(
+        q_ref[0], k_ref[0], bias_ref[0, 0][None, :],
+        lse_ref[0, 0][:, None], do_ref[0], v_ref[0],
+        delta_ref[0, 0][:, None], scale=scale, softclamp_value=softclamp_value)
+
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qb == num_qb - 1)
+    def _done():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value,
+                    block_q=512, block_k=512):
+    b, h, n, dh = q.shape
+    n_pad = round_up_to_multiple(n, max(block_q, block_k))
+    block_q = min(block_q, n_pad)
+    block_k = min(block_k, n_pad)
+
+    pad = n_pad - n
+    if pad:
+        zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v, o, g = (jnp.pad(t, zpad) for t in (q, k, v, o, g))
+        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        # lse already (bh, 1, n_pad)
+    bias3 = bias[:, None, :]
+
+    qf = q.reshape(b * h, n_pad, dh)
+    kf = k.reshape(b * h, n_pad, dh)
+    vf = v.reshape(b * h, n_pad, dh)
+    of = o.reshape(b * h, n_pad, dh)
+    gf = g.reshape(b * h, n_pad, dh)
+
+    # delta = rowsum(do * o) — tiny elementwise pre-pass in XLA
+    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1)[:, None, :]               # (bh, 1, n_pad)
+
+    specs = dict(
+        q=pl.BlockSpec((1, block_q, dh), memory_space=pltpu.VMEM),
+        k=pl.BlockSpec((1, block_k, dh), memory_space=pltpu.VMEM),
+    )
+    common = dict(scale=scale, softclamp_value=softclamp_value)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **common),
+        grid=(b * h, n_pad // block_q, n_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
+                         memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((1, block_k, dh), lambda i, j, kb: (i, kb, 0),
+                         memory_space=pltpu.VMEM),   # k
+            pl.BlockSpec((1, block_k, dh), lambda i, j, kb: (i, kb, 0),
+                         memory_space=pltpu.VMEM),   # v
+            pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb),
+                         memory_space=pltpu.VMEM),   # bias
+            pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j),
+                         memory_space=pltpu.VMEM),   # lse
+            pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
+                         memory_space=pltpu.VMEM),   # do
+            pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j),
+                         memory_space=pltpu.VMEM),   # delta
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=_INTERPRET,
+    )(qf, kf, vf, bias3, lse, gf, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, **common),
+        grid=(b * h, n_pad // block_k, n_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j, qb: (i, qb, 0),
+                         memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((1, block_k, dh), lambda i, j, qb: (i, j, 0),
+                         memory_space=pltpu.VMEM),   # k
+            pl.BlockSpec((1, block_k, dh), lambda i, j, qb: (i, j, 0),
+                         memory_space=pltpu.VMEM),   # v
+            pl.BlockSpec((1, 1, block_k), lambda i, j, qb: (i // h, 0, j),
+                         memory_space=pltpu.VMEM),   # bias
+            pl.BlockSpec((1, 1, block_q), lambda i, j, qb: (i, 0, qb),
+                         memory_space=pltpu.VMEM),   # lse
+            pl.BlockSpec((1, block_q, dh), lambda i, j, qb: (i, qb, 0),
+                         memory_space=pltpu.VMEM),   # do
+            pl.BlockSpec((1, 1, block_q), lambda i, j, qb: (i, 0, qb),
+                         memory_space=pltpu.VMEM),   # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dh), lambda i, j, qb: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda i, j, qb: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, dh), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n_pad, dh), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dh), jnp.float32),
+            pltpu.VMEM((block_k, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=_INTERPRET,
+    )(qf, kf, vf, bias3, lse, gf, delta)
+
+    to_bhnd = lambda t: t.reshape(b, h, n_pad, dh)[:, :, :n, :]
+    return to_bhnd(dq), to_bhnd(dk), to_bhnd(dv)
+
+
+# -- custom VJP ----------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, bias, scale, softclamp_value):
-    return _flash_forward(q, k, v, bias, scale, softclamp_value)
+    out, _, _ = _flash_forward(q, k, v, bias, scale, softclamp_value)
+    return out
 
 
 def _flash_fwd(q, k, v, bias, scale, softclamp_value):
-    out = _flash_forward(q, k, v, bias, scale, softclamp_value)
-    return out, (q, k, v, bias)
+    out, lse, _ = _flash_forward(q, k, v, bias, scale, softclamp_value)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_bwd(scale, softclamp_value, res, g):
-    q, k, v, bias = res
-    return _xla_recompute_bwd((q, k, v, bias, scale, softclamp_value), g)
+    q, k, v, bias, o, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value)
+    return dq, dk, dv, jnp.zeros_like(bias)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

@@ -151,3 +151,25 @@ def test_dropout_stochastic_in_train_mode():
     out3 = model(x, times=jnp.array([0.5]))
     out4 = model(x, times=jnp.array([0.5]))
     np.testing.assert_allclose(np.asarray(out3), np.asarray(out4), atol=1e-7)
+
+
+def test_remat_matches_no_remat():
+    kwargs = dict(dim=64, depth=4, heads=2, dim_head=16, ff_mult=2,
+                  num_registers=4, max_seq_len=64, kernel_size=7, dropout=0.0,
+                  num_residual_streams=2, attn_backend='xla')
+    a = Transformer(**kwargs, remat=False, rngs=nnx.Rngs(0))
+    b = Transformer(**kwargs, remat=True, rngs=nnx.Rngs(0))
+    a.eval(); b.eval()
+    x = jax.random.normal(jax.random.key(0), (2, 12, 64))
+    times = jnp.array([0.3, 0.8])
+    text = jax.random.normal(jax.random.key(1), (2, 12, 32))
+    out_a = a(x, times=times, text_embed=text)
+    out_b = b(x, times=times, text_embed=text)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+    # gradients flow through the remat path under jit
+    @nnx.jit
+    def loss(m, x):
+        return (m(x, times=times, text_embed=text) ** 2).sum()
+    g = nnx.grad(loss)(b, x)
+    assert np.isfinite(sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g)))
