@@ -60,3 +60,44 @@ def test_graft_entry_single():
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_fsdp_sharding():
+    from e2_tts_tpu.parallel.fsdp import fsdp_sharding_for, shard_module_fsdp
+    from e2_tts_tpu.models.e2tts import E2TTS
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh()
+    # largest divisible axis gets the data axis
+    s = fsdp_sharding_for((512, 1408), mesh)
+    assert s.spec == P(None, 'data')
+    s2 = fsdp_sharding_for((7, 13), mesh)   # nothing divisible -> replicated
+    assert s2.spec == P()
+
+    model = E2TTS(
+        transformer=dict(dim=64, depth=2, heads=2, dim_head=16, ff_mult=2,
+                         num_registers=2, max_seq_len=64, kernel_size=7,
+                         dropout=0.0, num_residual_streams=1,
+                         attn_backend='xla'),
+        rngs=nnx.Rngs(0))
+    model.eval()
+    shard_module_fsdp(model, mesh, min_size=64)
+
+    # at least one param actually sharded
+    from flax import nnx as _nnx
+    shardings = {str(getattr(p, 'sharding', None))
+                 for p in jax.tree.leaves(_nnx.state(model, _nnx.Param))}
+    assert any('data' in s for s in shardings)
+
+    # forward + grads still compile and run with sharded params
+    mel = jnp.zeros((8, 16, 100))
+    x_sharded = jax.device_put(mel, batch_sharding(mesh))
+
+    @_nnx.jit
+    def loss(m, x, key):
+        return m(x, text=jnp.zeros((8, 4), dtype=jnp.int32), key=key,
+                 drop_text_cond=False).loss
+
+    g = _nnx.grad(loss)(model, x_sharded, jax.random.key(0))
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(total)
