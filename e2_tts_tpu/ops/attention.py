@@ -50,12 +50,15 @@ def attention(
         v = jnp.exp(softclamp(v.astype(jnp.float32), laser_softclamp_value))
 
     # auto: the flash kernel (fwd + block-wise bwd) avoids all O(n^2)
-    # materialisation — measured faster end-to-end in training and far
-    # lighter on HBM; XLA handles the attention-prob dropout path
+    # materialisation — measured faster end-to-end in training (many
+    # batch*head grid rows) and far lighter on HBM. At tiny batch (sampling
+    # with b=1) its grid under-fills the chip and XLA's fused attention wins,
+    # so route by parallelism. XLA also handles the attention-prob dropout.
     use_pallas = backend == 'pallas' or (
         backend == 'auto'
         and dropout_rate == 0.0
         and jax.default_backend() == 'tpu'
+        and (q.shape[0] * q.shape[1] >= 64 or q.shape[2] > 2048)
     )
 
     if use_pallas:

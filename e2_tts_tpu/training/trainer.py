@@ -192,18 +192,8 @@ class E2Trainer:
         if not exists(self.writer):
             return
         try:
-            import matplotlib
-            matplotlib.use('Agg')
-            import matplotlib.pyplot as plt
-            fig, ax = plt.subplots(figsize=(10, 4))
-            im = ax.imshow(np.asarray(mel).T, aspect='auto', origin='lower',
-                           interpolation='none')
-            plt.colorbar(im, ax=ax)
-            plt.xlabel('Frames')
-            plt.ylabel('Channels')
-            plt.tight_layout()
-            self.writer.add_figure(tag, fig, step)
-            plt.close(fig)
+            from e2_tts_tpu.utils.plotting import plot_spectrogram
+            self.writer.add_figure(tag, plot_spectrogram(mel), step)
         except ImportError:
             pass
 
@@ -232,9 +222,18 @@ class E2Trainer:
             model.train()
             epoch_loss, n_batches = 0.0, 0
 
-            for batch in iter_batches(train_dataset, batch_size,
-                                      shuffle=True, seed=self.seed + epoch,
-                                      frame_bucket=frame_bucket):
+            batches = iter_batches(train_dataset, batch_size,
+                                   shuffle=True, seed=self.seed + epoch,
+                                   frame_bucket=frame_bucket)
+            try:
+                from tqdm import tqdm
+                total = max(len(train_dataset) // batch_size, 1)
+                batches = tqdm(batches, total=total,
+                               desc=f'Epoch {epoch + 1}/{epochs}', unit='step')
+            except ImportError:
+                pass
+
+            for batch in batches:
                 mel = np.ascontiguousarray(np.moveaxis(batch['mel'], 1, 2))  # b n d
                 mel_lens = batch['mel_lengths']
                 text_ids = self.model.tokenizer(batch['text'])
