@@ -78,12 +78,14 @@ def bench_train_step():
     key = jax.random.key(1)
     step(model, optimizer, key).block_until_ready()   # compile
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        loss = step(model, optimizer, jax.random.key(i))
-    loss.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        for j in range(5):
+            loss = step(model, optimizer, jax.random.key(5 * i + j))
+        loss.block_until_ready()
+        times.append((time.perf_counter() - t0) / 5)
+    dt = min(times)   # min-of-groups: robust to host/tunnel jitter
 
     frames_per_sec = TRAIN_BATCH * TRAIN_FRAMES / dt
     return dict(step_ms=dt * 1e3, frames_per_sec=frames_per_sec,
@@ -104,12 +106,13 @@ def bench_sample():
 
     run(jax.random.key(1)).block_until_ready()   # compile
 
-    n_iters = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters):
+    times = []
+    for i in range(6):
+        t0 = time.perf_counter()
         out = run(jax.random.key(i))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)   # min-of-N: robust to host/tunnel jitter
 
     audio_seconds = SAMPLE_FRAMES / FRAMES_PER_SEC
     return dict(sample_s=dt, rtf=dt / audio_seconds)
