@@ -114,7 +114,8 @@ class DurationPredictor(nnx.Module):
         if exists(text):
             if isinstance(text, list):
                 text = jnp.asarray(self.tokenizer(text))
-                assert text.shape[0] == batch
+            assert text.shape[0] == batch, (
+                f'got {text.shape[0]} texts for a batch of {batch} audio samples')
             text_embed = self.embed_text(text, seq_len)
 
         # lengths

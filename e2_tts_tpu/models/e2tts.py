@@ -200,7 +200,9 @@ class E2TTS(nnx.Module):
     def _tokenize(self, text, batch):
         if isinstance(text, list):
             text = jnp.asarray(self.tokenizer(text))
-            assert text.shape[0] == batch
+        if exists(text):
+            assert text.shape[0] == batch, (
+                f'got {text.shape[0]} texts for a batch of {batch} audio samples')
         return text
 
     # -- prediction heads ----------------------------------------------------

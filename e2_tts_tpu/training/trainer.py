@@ -67,6 +67,10 @@ class E2Trainer:
                                           # like the reference (trainer.py:233)
         grad_accumulation_steps: int = 1,
         duration_predictor: DurationPredictor | None = None,
+        train_duration_predictor: bool = False,  # the reference computes the
+                                          # duration loss but never backprops
+                                          # it (trainer.py:255-257); opt in to
+                                          # actually train the predictor
         checkpoint_path: str | None = None,
         log_file: str = 'logs.txt',
         max_grad_norm: float = 1.0,
@@ -86,6 +90,7 @@ class E2Trainer:
 
         self.model = model
         self.duration_predictor = duration_predictor
+        self.train_duration_predictor = train_duration_predictor and exists(duration_predictor)
         self.need_velocity_consistent_loss = model.velocity_consistency_weight > 0.0
 
         self.ema = EMA(model, include_online_model=False, **ema_kwargs)
@@ -124,6 +129,7 @@ class E2Trainer:
                 logger.warning('tensorboard unavailable; scalar logging disabled')
 
         self._train_step = self._build_train_step()
+        self._dp_step = self._build_dp_step()
 
     def _build_optimizer(self, total_steps: int):
         self.schedule = linear_warmup_decay_schedule(
@@ -135,6 +141,15 @@ class E2Trainer:
         self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)
         if len(self.mesh.devices) > 1:
             replicate_module(self.optimizer, self.mesh)
+        if self.train_duration_predictor:
+            dp_tx = optax.chain(optax.clip_by_global_norm(self.max_grad_norm),
+                                adopt(self.schedule))
+            self.dp_optimizer = nnx.Optimizer(self.duration_predictor, dp_tx,
+                                              wrt=nnx.Param)
+            if len(self.mesh.devices) > 1:
+                replicate_module(self.dp_optimizer, self.mesh)
+        else:
+            self.dp_optimizer = None
 
     # -- jitted step ---------------------------------------------------------
 
@@ -157,6 +172,18 @@ class E2Trainer:
             return loss, out.cond, out.pred_data
 
         return train_step
+
+    def _build_dp_step(self):
+
+        @nnx.jit
+        def dp_step(dp, optimizer, mel, mel_lens, key):
+            def loss_fn(m):
+                return m(mel, lens=mel_lens, return_loss=True, key=key)
+            loss, grads = nnx.value_and_grad(loss_fn)(dp)
+            optimizer.update(dp, grads)
+            return loss
+
+        return dp_step
 
     # -- checkpointing (reference: trainer.py:202-228) -----------------------
 
@@ -248,12 +275,19 @@ class E2Trainer:
                 if len(self.mesh.devices) > 1:
                     device_batch = shard_batch(device_batch, self.mesh)
 
-                # duration-predictor side loss: computed & logged, never
-                # backpropagated — faithful to the reference (trainer.py:255-257)
+                # duration-predictor side loss. The reference computes and
+                # logs it but never backpropagates (trainer.py:255-257);
+                # `train_duration_predictor=True` actually optimises it.
                 if exists(self.duration_predictor):
-                    dur_loss = self.duration_predictor(
-                        device_batch['mel'], lens=device_batch['mel_lens'],
-                        return_loss=True)
+                    key, dp_key = jax.random.split(key)
+                    if self.train_duration_predictor:
+                        dur_loss = self._dp_step(
+                            self.duration_predictor, self.dp_optimizer,
+                            device_batch['mel'], device_batch['mel_lens'], dp_key)
+                    else:
+                        dur_loss = self.duration_predictor(
+                            device_batch['mel'], lens=device_batch['mel_lens'],
+                            return_loss=True, key=dp_key)
                     self._log_scalar('duration loss', dur_loss, global_step)
 
                 self._maybe_profile(global_step)

@@ -232,3 +232,23 @@ def test_trainer_switch_ema_and_velocity(tmp_path):
         checkpoint_path=str(tmp_path / 'ckpt'), log_file=None)
     trainer.train(_toy_dataset(n=16), epochs=2, batch_size=8, save_step=100)
     assert bool(trainer.ema.initted)
+
+
+def test_trainer_trains_duration_predictor(tmp_path):
+    from e2_tts_tpu.models.duration import DurationPredictor
+    model = small_e2tts()
+    dp = DurationPredictor(transformer=dict(**SMALL_TF), rngs=nnx.Rngs(1))
+    before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                          jax.tree.leaves(nnx.state(dp, nnx.Param)))
+
+    trainer = E2Trainer(
+        model, learning_rate=1e-3, num_warmup_steps=1, total_steps=50,
+        duration_predictor=dp, train_duration_predictor=True,
+        checkpoint_path=str(tmp_path / 'ckpt'), log_file=None)
+    # >= 2 optimizer steps: ADOPT's first step only primes the second moment
+    trainer.train(_toy_dataset(n=16), epochs=2, batch_size=8, save_step=100)
+
+    after = jax.tree.leaves(nnx.state(dp, nnx.Param))
+    total_delta = sum(float(np.abs(np.asarray(a) - b).sum())
+                      for a, b in zip(after, before))
+    assert total_delta > 0
