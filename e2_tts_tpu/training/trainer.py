@@ -78,6 +78,8 @@ class E2Trainer:
                                           # (SURVEY.md §3.5); mel runs at 24k
         tensorboard_log_dir: str = 'runs/e2_tts_experiment',
         mesh=None,                        # None = auto data mesh over devices
+        param_sharding: str = 'replicated',   # 'replicated' (DDP-like) |
+                                              # 'fsdp' (ZeRO-3-style)
         ema_kwargs: dict = dict(),
         use_switch_ema: bool = False,
         use_tensorboard: bool = False,
@@ -101,11 +103,13 @@ class E2Trainer:
         self.target_sample_rate = sample_rate
         self.grad_accumulation_steps = grad_accumulation_steps
 
-        # distribution: data mesh, replicated state, sharded batches
+        # distribution: data mesh, replicated or FSDP state, sharded batches
+        assert param_sharding in ('replicated', 'fsdp')
         self.mesh = default(mesh, make_mesh())
+        self.param_sharding = param_sharding
         if len(self.mesh.devices) > 1:
-            replicate_module(self.model, self.mesh)
-            replicate_module(self.ema, self.mesh)
+            self._place_module(self.model)
+            self._place_module(self.ema)
 
         self.learning_rate = learning_rate
         self._user_optimizer = optimizer
@@ -131,6 +135,13 @@ class E2Trainer:
         self._train_step = self._build_train_step()
         self._dp_step = self._build_dp_step()
 
+    def _place_module(self, module):
+        if self.param_sharding == 'fsdp':
+            from e2_tts_tpu.parallel.fsdp import shard_module_fsdp
+            shard_module_fsdp(module, self.mesh)
+        else:
+            replicate_module(module, self.mesh)
+
     def _build_optimizer(self, total_steps: int):
         self.schedule = linear_warmup_decay_schedule(
             self.learning_rate, self.num_warmup_steps, total_steps)
@@ -140,14 +151,14 @@ class E2Trainer:
             tx = optax.MultiSteps(tx, self.grad_accumulation_steps)
         self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)
         if len(self.mesh.devices) > 1:
-            replicate_module(self.optimizer, self.mesh)
+            self._place_module(self.optimizer)
         if self.train_duration_predictor:
             dp_tx = optax.chain(optax.clip_by_global_norm(self.max_grad_norm),
                                 adopt(self.schedule))
             self.dp_optimizer = nnx.Optimizer(self.duration_predictor, dp_tx,
                                               wrt=nnx.Param)
             if len(self.mesh.devices) > 1:
-                replicate_module(self.dp_optimizer, self.mesh)
+                self._place_module(self.dp_optimizer)
         else:
             self.dp_optimizer = None
 

@@ -252,3 +252,16 @@ def test_trainer_trains_duration_predictor(tmp_path):
     total_delta = sum(float(np.abs(np.asarray(a) - b).sum())
                       for a, b in zip(after, before))
     assert total_delta > 0
+
+
+def test_trainer_fsdp_end_to_end(tmp_path):
+    model = small_e2tts()
+    trainer = E2Trainer(
+        model, learning_rate=1e-3, num_warmup_steps=1, total_steps=50,
+        param_sharding='fsdp',
+        checkpoint_path=str(tmp_path / 'ckpt'), log_file=None)
+    trainer.train(_toy_dataset(n=8), epochs=1, batch_size=8, save_step=100)
+    # at least one param actually sharded across the data axis
+    shardings = {str(getattr(p, 'sharding', None))
+                 for p in jax.tree.leaves(nnx.state(model, nnx.Param))}
+    assert any('data' in s for s in shardings)
