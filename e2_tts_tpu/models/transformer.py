@@ -211,6 +211,9 @@ class Transformer(nnx.Module):
         kernel_size: int = 31,
         dropout: float = 0.1,
         num_registers: int = 32,
+        scale_residual: bool = False,   # accepted for API parity; the
+                                        # reference takes but never uses it
+                                        # (e2_tts.py:542)
         attn_laser: bool = False,
         attn_laser_softclamp_value: float = 15.0,
         attn_fourier_embed_input: bool = False,
