@@ -247,3 +247,14 @@ def test_hl_gauss_target_probs():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), [1.0], rtol=1e-5)
     # mass concentrated near the target bin
     assert np.asarray(probs)[0, 4:6].sum() > 0.5
+
+
+def test_attention_no_softclamp_config():
+    """attn_kwargs={} (softclamp off) — the reference default has it on, but
+    the flag must be independently controllable."""
+    attn = Attention(32, heads=2, dim_head=8, backend='xla', rngs=rngs())
+    attn.eval()
+    assert attn.softclamp_value is None
+    x = jax.random.normal(jax.random.key(0), (1, 6, 32))
+    out, _ = attn(x)
+    assert np.isfinite(np.asarray(out)).all()

@@ -68,3 +68,39 @@ def test_melspec_shapes_and_batching():
 def test_db_to_amplitude():
     x = jnp.asarray([0.0, 20.0, -20.0])
     np.testing.assert_allclose(np.asarray(db_to_amplitude(x)), [1.0, 10.0, 0.1], rtol=1e-6)
+
+
+def test_melspec_win_shorter_than_nfft():
+    """win_length < n_fft: window center-padded like torch.stft."""
+    rng = np.random.default_rng(2)
+    wave = (rng.standard_normal((1, 12000)) * 0.3).astype(np.float32)
+
+    mel_spec = MelSpec(win_length=800)
+    ours = np.asarray(mel_spec(jnp.asarray(wave)))
+
+    import torch
+    x = torch.from_numpy(wave)
+    window = torch.from_numpy(hann_window(800))
+    spec = torch.stft(x, n_fft=1024, hop_length=256, win_length=800,
+                      window=window, center=True, pad_mode='reflect',
+                      normalized=False, onesided=True, return_complex=True).abs()
+    fb = torch.from_numpy(melscale_fbanks(513, 0.0, 12000, 100, 24000))
+    oracle = torch.log(torch.clamp(
+        torch.matmul(spec.transpose(-1, -2), fb).transpose(-1, -2), min=1e-5)).numpy()
+    np.testing.assert_allclose(ours, oracle, atol=2e-3, rtol=1e-3)
+
+
+def test_melspec_slaney_norm():
+    fb = melscale_fbanks(513, 0.0, 12000.0, 100, 24000, norm='slaney')
+    assert fb.shape == (513, 100)
+    assert np.isfinite(fb).all() and fb.max() < 0.1    # area-normalised
+    # narrow low-freq filters get larger weights than wide high-freq ones
+    assert fb[:, :10].max() > fb[:, -10:].max()
+
+
+def test_melspec_power2():
+    wave = jnp.asarray(np.random.default_rng(3).standard_normal((1, 8000)).astype(np.float32))
+    m1 = MelSpec(power=1.0)(wave)
+    m2 = MelSpec(power=2.0)(wave)
+    assert m1.shape == m2.shape
+    assert not np.allclose(np.asarray(m1), np.asarray(m2))

@@ -244,3 +244,28 @@ def test_e2tts_overfits_one_batch():
 
     losses = [float(step(model, optimizer, jax.random.key(5))) for _ in range(30)]
     assert losses[-1] < losses[0] * 0.7, f'no learning: {losses[0]} -> {losses[-1]}'
+
+
+def test_e2tts_custom_tokenizer():
+    import numpy as onp
+
+    def my_tokenizer(texts):
+        return onp.full((len(texts), 4), 3, dtype=onp.int32)
+
+    model = E2TTS(transformer=dict(**SMALL_TF), tokenizer=my_tokenizer,
+                  text_num_embeds=10, rngs=nnx.Rngs(0))
+    model.eval()
+    mel = jax.random.normal(jax.random.key(0), (2, 24, 100))
+    out = model(mel, text=['a', 'b'], key=jax.random.key(1), drop_text_cond=False)
+    assert np.isfinite(float(out.loss))
+
+
+def test_e2tts_sample_lens_from_prompt():
+    """lens defaults to the prompt length; duration from tensor input."""
+    model = small_e2tts()
+    prompt = jax.random.normal(jax.random.key(0), (2, 10, 100))
+    out = model.sample(prompt, text=['ab', 'cd'],
+                       duration=jnp.array([20, 24]), steps=2,
+                       key=jax.random.key(1), return_raw_output=True,
+                       duration_bucket=32)
+    assert out.shape == (2, 24, 100)
