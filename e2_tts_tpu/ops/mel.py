@@ -122,6 +122,7 @@ class MelSpec:
         norm: str | None = None,
         center: bool = True,
         mode: str = 'dft',   # 'dft' (matmul, MXU) | 'fft' (jnp.fft.rfft)
+                             # | 'pallas' (fused VMEM kernel, ops/mel_kernel.py)
         dtype=jnp.float32,
     ):
         assert not normalize, 'spectrogram normalization not used by the reference'
@@ -150,7 +151,7 @@ class MelSpec:
         )
         self._fbanks = jnp.asarray(fb, dtype=dtype)  # (n_freqs, n_mels)
 
-        if mode == 'dft':
+        if mode in ('dft', 'pallas'):
             # window-folded real DFT bases: frame @ basis == rfft(window * frame)
             k = np.arange(n_freqs)[None, :]              # (1, n_freqs)
             n = np.arange(filter_length)[:, None]        # (n_fft, 1)
@@ -174,17 +175,26 @@ class MelSpec:
         mel = _mel_impl(
             inp.astype(self.dtype),
             self._fbanks,
-            self._dft_cos if self.mode == 'dft' else None,
-            self._dft_sin if self.mode == 'dft' else None,
+            self._dft_cos if self.mode in ('dft', 'pallas') else None,
+            self._dft_sin if self.mode in ('dft', 'pallas') else None,
             self._window_j if self.mode == 'fft' else None,
             self.n_fft, self.hop_length, self.center, self.power,
+            self.mode == 'pallas',
         )
         return mel[0] if squeeze_batch else mel
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _mel_impl(x, fbanks, dft_cos, dft_sin, window, n_fft, hop_length, center, power):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _mel_impl(x, fbanks, dft_cos, dft_sin, window, n_fft, hop_length, center,
+              power, use_pallas=False):
     frames = _frame_signal(x, n_fft, hop_length, center)     # (b, t, n_fft)
+
+    if use_pallas:
+        from e2_tts_tpu.ops.mel_kernel import fused_log_mel
+        b, t, _ = frames.shape
+        mel = fused_log_mel(frames.reshape(b * t, n_fft), dft_cos, dft_sin,
+                            fbanks, power=power)
+        return mel.reshape(b, t, -1).transpose(0, 2, 1)       # (b, mels, t)
 
     if exists(dft_cos):
         re = jnp.einsum('btn,nf->btf', frames, dft_cos, preferred_element_type=jnp.float32)

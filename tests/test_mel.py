@@ -104,3 +104,16 @@ def test_melspec_power2():
     m2 = MelSpec(power=2.0)(wave)
     assert m1.shape == m2.shape
     assert not np.allclose(np.asarray(m1), np.asarray(m2))
+
+
+def test_melspec_pallas_mode_matches_dft():
+    import e2_tts_tpu.ops.mel_kernel as mk
+    mk._INTERPRET = True
+    try:
+        rng = np.random.default_rng(4)
+        wave = (rng.standard_normal((2, 8000)) * 0.3).astype(np.float32)
+        a = np.asarray(MelSpec(mode='pallas')(jnp.asarray(wave)))
+        b = np.asarray(MelSpec(mode='dft')(jnp.asarray(wave)))
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+    finally:
+        mk._INTERPRET = False
