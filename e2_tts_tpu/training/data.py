@@ -121,3 +121,29 @@ def iter_batches(dataset, batch_size: int, *, shuffle: bool = True,
         if drop_last and len(idx) < batch_size:
             return
         yield collate_fn([dataset[int(i)] for i in idx], frame_bucket=frame_bucket)
+
+
+def prefetch(iterator, size: int = 2):
+    """Background-thread prefetch: overlaps host-side collation/tokenization
+    with device compute (the reference gets this from DataLoader workers,
+    trainer.py:232)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -33,7 +33,7 @@ from e2_tts_tpu.models.e2tts import E2TTS
 from e2_tts_tpu.parallel.mesh import make_mesh, shard_batch, replicate_module
 from e2_tts_tpu.training.adopt import adopt
 from e2_tts_tpu.training.checkpointing import save_checkpoint, load_checkpoint
-from e2_tts_tpu.training.data import collate_fn, iter_batches
+from e2_tts_tpu.training.data import collate_fn, iter_batches, prefetch
 from e2_tts_tpu.training.ema import EMA
 from e2_tts_tpu.utils.helpers import exists, default
 
@@ -242,6 +242,11 @@ class E2Trainer:
               frame_bucket: int = 64):
         import random as py_random
 
+        n_dev = len(self.mesh.devices)
+        assert batch_size % n_dev == 0, (
+            f'batch_size ({batch_size}) must be divisible by the number of '
+            f'devices in the data mesh ({n_dev})')
+
         model = self.model
         rng = py_random.Random(self.seed)
 
@@ -263,6 +268,8 @@ class E2Trainer:
             batches = iter_batches(train_dataset, batch_size,
                                    shuffle=True, seed=self.seed + epoch,
                                    frame_bucket=frame_bucket)
+            if num_workers > 0:
+                batches = prefetch(batches, size=max(2, num_workers))
             try:
                 from tqdm import tqdm
                 total = max(len(train_dataset) // batch_size, 1)

@@ -265,3 +265,22 @@ def test_trainer_fsdp_end_to_end(tmp_path):
     shardings = {str(getattr(p, 'sharding', None))
                  for p in jax.tree.leaves(nnx.state(model, nnx.Param))}
     assert any('data' in s for s in shardings)
+
+
+def test_prefetch_iterator():
+    from e2_tts_tpu.training.data import prefetch
+    out = list(prefetch(iter(range(7)), size=3))
+    assert out == list(range(7))
+    assert list(prefetch(iter([]), size=2)) == []
+
+
+def test_trainer_with_prefetch_workers(tmp_path):
+    model = small_e2tts()
+    trainer = E2Trainer(model, learning_rate=1e-3, num_warmup_steps=1,
+                        total_steps=50, checkpoint_path=str(tmp_path / 'ckpt'),
+                        log_file=None)
+    trainer.train(_toy_dataset(n=16), epochs=1, batch_size=8,
+                  num_workers=2, save_step=100)
+    # non-divisible batch size fails with a clear error
+    with pytest.raises(AssertionError, match='divisible'):
+        trainer.train(_toy_dataset(n=8), epochs=1, batch_size=3)
