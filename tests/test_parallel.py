@@ -101,3 +101,49 @@ def test_fsdp_sharding():
     g = _nnx.grad(loss)(model, x_sharded, jax.random.key(0))
     total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
     assert np.isfinite(total)
+
+
+def test_tensor_parallel_2d_mesh():
+    """2-D (data x model) mesh: TP-sharded params give the same loss as the
+    single-device model, with attention/FF kernels actually split."""
+    from e2_tts_tpu.parallel.tp import make_2d_mesh, shard_module_tp
+    from e2_tts_tpu.models.e2tts import E2TTS
+    from flax import nnx as _nnx
+
+    mesh = make_2d_mesh(data=2, model=4)
+    assert mesh.shape == {'data': 2, 'model': 4}
+
+    def build():
+        return E2TTS(
+            transformer=dict(dim=64, depth=2, heads=4, dim_head=16, ff_mult=2,
+                             num_registers=2, max_seq_len=64, kernel_size=7,
+                             dropout=0.0, num_residual_streams=1,
+                             attn_backend='xla'),
+            rngs=_nnx.Rngs(0))
+
+    ref = build()
+    ref.eval()
+    mel = jax.random.normal(jax.random.key(0), (2, 16, 100))
+    text = jnp.asarray(ref.tokenizer(['ab', 'cd']))
+    key = jax.random.key(1)
+    loss_ref = float(ref(mel, text=text, key=key, drop_text_cond=False).loss)
+
+    tp = build()
+    tp.eval()
+    shard_module_tp(tp, mesh)
+
+    # q/k/v kernels actually split over 'model'
+    attn = tp.transformer.speech_layers[0].attn
+    assert 'model' in str(attn.to_q.kernel[...].sharding.spec)
+
+    @_nnx.jit
+    def loss_fn(m, mel, text, key):
+        return m(mel, text=text, key=key, drop_text_cond=False).loss
+
+    loss_tp = float(loss_fn(tp, mel, text, key))
+    np.testing.assert_allclose(loss_tp, loss_ref, rtol=2e-5)
+
+    # gradients flow with TP shardings too
+    g = _nnx.grad(lambda m: loss_fn(m, mel, text, key))(tp)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(total)
