@@ -16,11 +16,8 @@ Conventions:
 
 from __future__ import annotations
 
-import typing as tp
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import nnx
 
 from e2_tts_tpu.ops.attention import attention as attention_op

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from e2_tts_tpu.utils.helpers import exists
 
 
 def expand_stream(x: jax.Array, num_streams: int) -> jax.Array:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from e2_tts_tpu.ops.mel import MelSpec
-from e2_tts_tpu.utils.helpers import exists, default, round_up_to_multiple
+from e2_tts_tpu.utils.helpers import round_up_to_multiple
 
 
 def resample_audio(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

@@ -33,7 +33,7 @@ from e2_tts_tpu.models.e2tts import E2TTS
 from e2_tts_tpu.parallel.mesh import make_mesh, shard_batch, replicate_module
 from e2_tts_tpu.training.adopt import adopt
 from e2_tts_tpu.training.checkpointing import save_checkpoint, load_checkpoint
-from e2_tts_tpu.training.data import collate_fn, iter_batches, prefetch
+from e2_tts_tpu.training.data import iter_batches, prefetch
 from e2_tts_tpu.training.ema import EMA
 from e2_tts_tpu.utils.helpers import exists, default
 
