@@ -58,6 +58,9 @@ def attention(
         backend == 'auto'
         and dropout_rate == 0.0
         and jax.default_backend() == 'tpu'
+        and q.shape[2] >= 128   # kernel pads seq to 128: tiny sequences
+                                # (e.g. freq-axis attention over a handful of
+                                # tokens) would mostly compute padding
         and (q.shape[0] * q.shape[1] >= 64 or q.shape[2] > 2048)
     )
 

@@ -258,3 +258,33 @@ def test_attention_no_softclamp_config():
     x = jax.random.normal(jax.random.key(0), (1, 6, 32))
     out, _ = attn(x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attention_auto_routing_guards():
+    """'auto' must not route tiny sequences (freq-axis attention) to the
+    flash kernel — it pads seq to 128 and would mostly compute padding."""
+    import e2_tts_tpu.ops.attention as att
+
+    routed = {}
+    real_flash = {}
+
+    def fake_flash(q, k, v, mask, *, scale, softclamp_value):
+        routed['pallas'] = True
+        return att._xla_attention(q, k, v, mask, scale=scale,
+                                  softclamp_value=softclamp_value,
+                                  dropout_rate=0.0, dropout_rng=None)
+
+    import e2_tts_tpu.ops.flash_attention as fa
+    orig, orig_backend = fa.flash_attention, jax.default_backend
+    fa.flash_attention = fake_flash
+    try:
+        import unittest.mock as mock
+        with mock.patch.object(jax, 'default_backend', return_value='tpu'):
+            q = jnp.zeros((32, 8, 4, 16))     # b*h large but seq=4 (freq axis)
+            att.attention(q, q, q, None, backend='auto')
+            assert 'pallas' not in routed
+            q2 = jnp.zeros((16, 8, 256, 16))  # training shape
+            att.attention(q2, q2, q2, None, backend='auto')
+            assert routed.get('pallas')
+    finally:
+        fa.flash_attention = orig
