@@ -269,3 +269,18 @@ def test_e2tts_sample_lens_from_prompt():
                        key=jax.random.key(1), return_raw_output=True,
                        duration_bucket=32)
     assert out.shape == (2, 24, 100)
+
+
+@pytest.mark.parametrize('method', ['euler', 'midpoint', 'rk4'])
+def test_e2tts_sample_ode_methods(method):
+    """odeint_kwargs method passes through to the sampler (reference
+    e2_tts.py:1122-1126, 1421)."""
+    model = E2TTS(transformer=dict(**SMALL_TF),
+                  odeint_kwargs=dict(atol=1e-5, rtol=1e-5, method=method),
+                  rngs=nnx.Rngs(0))
+    prompt = jax.random.normal(jax.random.key(0), (1, 8, 100))
+    out = model.sample(prompt, text=['ok'], duration=16, steps=3,
+                       key=jax.random.key(1), return_raw_output=True,
+                       duration_bucket=16)
+    assert out.shape == (1, 16, 100)
+    assert np.isfinite(np.asarray(out)).all()
