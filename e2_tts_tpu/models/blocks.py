@@ -217,9 +217,15 @@ class TextAudioCrossCondition(nnx.Module):
                 kernel_init=nnx.initializers.zeros_init(),
                 dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
-    def __call__(self, audio: jax.Array, text: jax.Array):
+    def __call__(self, audio: jax.Array, text: jax.Array, gate=None):
+        """`gate` (broadcastable to audio) scales the text->audio add —
+        gate 0 makes a sample's audio stream evolve exactly as if it had no
+        text conditioning, which lets the CFG null pass batch with the cond
+        pass (the only path text affects audio is this add)."""
         audio_text = jnp.concatenate((audio, text), axis=-1)
         text_cond = self.text_to_audio(audio_text)
+        if exists(gate):
+            text_cond = text_cond * gate.astype(text_cond.dtype)
         audio_cond = self.audio_to_text(audio_text) if self.cond_audio_to_text else 0.0
         return audio + text_cond, text + audio_cond
 

@@ -20,6 +20,7 @@ from e2_tts_tpu.ops.mel import MelSpec
 from e2_tts_tpu.text.tokenizer import resolve_tokenizer
 from e2_tts_tpu.utils.helpers import exists, default, set_if_missing_key
 from e2_tts_tpu.utils.masking import lens_to_mask, maybe_masked_mean
+from e2_tts_tpu.utils.typing import Float, Int, typecheck
 
 
 class DurationPredictor(nnx.Module):
@@ -90,12 +91,13 @@ class DurationPredictor(nnx.Module):
     def __call__(self, x, *, text=None, lens=None, return_loss=True, key=None):
         return self.forward(x, text=text, lens=lens, return_loss=return_loss, key=key)
 
+    @typecheck
     def forward(
         self,
-        x: jax.Array,               # (b, n, d) mel or (b, nw) raw wave
+        x: Float[jax.Array, 'b n d'] | Float[jax.Array, 'b nw'],
         *,
-        text=None,                  # (b, nt) int ids | list[str]
-        lens: jax.Array | None = None,
+        text: Int[jax.Array, 'b nt'] | list[str] | None = None,
+        lens: Int[jax.Array, 'b'] | None = None,
         return_loss: bool = True,
         key: jax.Array | None = None,
     ):

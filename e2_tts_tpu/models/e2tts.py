@@ -42,6 +42,7 @@ from e2_tts_tpu.utils.helpers import (
 )
 from e2_tts_tpu.utils.masking import lens_to_mask, mask_from_frac_lengths
 from e2_tts_tpu.utils.tensor import project
+from e2_tts_tpu.utils.typing import Float, Int, typecheck
 
 LossBreakdown = namedtuple('LossBreakdown', ['flow', 'velocity_consistency'])
 
@@ -50,10 +51,12 @@ E2TTSReturn = namedtuple('E2TTS', ['loss', 'cond', 'pred_flow', 'pred_data', 'lo
 
 @partial(nnx.jit, static_argnames=('steps', 'method', 'cfg_strength',
                                    'remove_parallel_component',
-                                   'keep_parallel_frac'))
+                                   'keep_parallel_frac', 'atol', 'rtol',
+                                   'batched_cfg'))
 def _sample_ode(model, null_model, cond, cond_mask, mask, text, key, *,
                 steps, method, cfg_strength, remove_parallel_component=True,
-                keep_parallel_frac=0.0):
+                keep_parallel_frac=0.0, atol=None, rtol=None,
+                batched_cfg=True):
     """Jitted ODE sampling core. Cached across `sample()` calls (keyed on the
     module graph + static args + shapes) — the whole NFE loop is one compiled
     `lax.scan` on device."""
@@ -68,9 +71,9 @@ def _sample_ode(model, null_model, cond, cond_mask, mask, text, key, *,
             text=text, mask=mask,
             cfg_strength=cfg_strength, cfg_null_model=null_model,
             remove_parallel_component=remove_parallel_component,
-            keep_parallel_frac=keep_parallel_frac)
+            keep_parallel_frac=keep_parallel_frac, batched_cfg=batched_cfg)
 
-    sampled = odeint(fn, y0, t, method=method)
+    sampled = odeint(fn, y0, t, method=method, atol=atol, rtol=rtol)
     return jnp.where(cond_mask, cond, sampled)
 
 
@@ -249,26 +252,71 @@ class E2TTS(nnx.Module):
             return pred
         return pred, drop_text_cond
 
+    def _cfg_batched_preds(self, x, cond, times, *, text, mask):
+        """Run the CFG cond and null passes as ONE 2x-batched forward.
+
+        The reference runs two sequential full passes (e2_tts.py:1313-1321);
+        at sampling batch 1 that leaves the chip half idle. The only path by
+        which text affects the audio stream is the text->audio add inside
+        TextAudioCrossCondition, so a 2x batch whose null half gates that add
+        to zero is exactly equivalent to a pass with no text conditioning —
+        while the audio stream rides the MXU at twice the batch."""
+        seq_len = x.shape[-2]
+        batch = x.shape[0]
+
+        if self.concat_cond:
+            x = jnp.concatenate((cond, x), axis=-1)
+        x = self._maybe_split_freq(self.proj_in(x))
+        if not self.concat_cond:
+            x = x + self._maybe_split_freq(self.cond_proj_in(cond))
+
+        text_embed = self.embed_text(text, seq_len, mask=mask)
+
+        dup = lambda t: (jnp.concatenate((t, t), axis=0) if exists(t) else None)
+        gate = jnp.concatenate((jnp.ones((batch,), jnp.float32),
+                                jnp.zeros((batch,), jnp.float32)))
+        embed = self.transformer(dup(x), times=dup(times), mask=dup(mask),
+                                 text_embed=dup(text_embed),
+                                 text_cond_gate=gate)
+        if self.has_freq_axis:
+            embed = embed.mean(axis=1)
+        pred2 = self.to_pred(embed)
+        return pred2[:batch], pred2[batch:]
+
     def cfg_transformer_with_pred_head(
         self,
-        *args,
+        x,
+        cond,
+        times,
+        *,
+        text=None,
+        mask=None,
         cfg_strength: float = 1.0,
         cfg_null_model: 'E2TTS | None' = None,
         remove_parallel_component: bool = True,
         keep_parallel_frac: float = 0.0,
-        **kwargs,
+        batched_cfg: bool = True,
     ):
         """Classifier-free guidance with APG parallel-component removal
-        (e2_tts.py:1303-1330) and the autoguidance hook (cfg_null_model)."""
-        pred = self.transformer_with_pred_head(*args, drop_text_cond=False, **kwargs)
-
+        (e2_tts.py:1303-1330) and the autoguidance hook (cfg_null_model).
+        With `batched_cfg` (default) the cond+null passes run as one
+        2x-batched forward (see _cfg_batched_preds); autoguidance or absent
+        text falls back to the sequential two-pass form."""
         if cfg_strength < 1e-5:
-            return pred
+            return self.transformer_with_pred_head(
+                x, cond, times, mask=mask, text=text, drop_text_cond=False)
 
-        null_drop_text_cond = not exists(cfg_null_model)
-        null_model = default(cfg_null_model, self)
-        null_pred = null_model.transformer_with_pred_head(
-            *args, drop_text_cond=null_drop_text_cond, **kwargs)
+        if batched_cfg and not exists(cfg_null_model) and exists(text):
+            pred, null_pred = self._cfg_batched_preds(
+                x, cond, times, text=text, mask=mask)
+        else:
+            pred = self.transformer_with_pred_head(
+                x, cond, times, mask=mask, text=text, drop_text_cond=False)
+            null_drop_text_cond = not exists(cfg_null_model)
+            null_model = default(cfg_null_model, self)
+            null_pred = null_model.transformer_with_pred_head(
+                x, cond, times, mask=mask, text=text,
+                drop_text_cond=null_drop_text_cond)
 
         cfg_update = pred - null_pred
 
@@ -280,13 +328,14 @@ class E2TTS(nnx.Module):
 
     # -- sampling ------------------------------------------------------------
 
+    @typecheck
     def sample(
         self,
-        cond: jax.Array,            # (b, n, d) mel prompt or (b, nw) wave
+        cond: Float[jax.Array, 'b n d'] | Float[jax.Array, 'b nw'],
         *,
-        text=None,                  # (b, nt) ids | list[str]
-        lens: jax.Array | None = None,
-        duration=None,              # int | (b,) int
+        text: Int[jax.Array, 'b nt'] | list[str] | None = None,
+        lens: Int[jax.Array, 'b'] | None = None,
+        duration: int | Int[jax.Array, 'b'] | None = None,
         steps: int = 32,
         cfg_strength: float = 1.0,
         cfg_null_model: 'E2TTS | None' = None,
@@ -296,6 +345,7 @@ class E2TTS(nnx.Module):
         save_to_filename: str | None = None,
         key: jax.Array | None = None,
         duration_bucket: int = 128,   # pad gen length to a bucket: jit reuse
+        batched_cfg: bool = True,     # one 2x-batched CFG pass vs two passes
     ):
         """Zero-shot inference (e2_tts.py:1332-1466): prompt mel + text ->
         infilled mel (or waveform when a vocoder is attached)."""
@@ -308,14 +358,14 @@ class E2TTS(nnx.Module):
                 max_duration=max_duration, vocoder=vocoder,
                 return_raw_output=return_raw_output,
                 save_to_filename=save_to_filename, key=key,
-                duration_bucket=duration_bucket)
+                duration_bucket=duration_bucket, batched_cfg=batched_cfg)
         finally:
             if was_training:
                 self.train()
 
     def _sample(self, cond, *, text, lens, duration, steps, cfg_strength,
                 cfg_null_model, max_duration, vocoder, return_raw_output,
-                save_to_filename, key, duration_bucket):
+                save_to_filename, key, duration_bucket, batched_cfg):
         cond = self._as_mel(cond)
         batch, cond_seq_len = cond.shape[0], cond.shape[1]
 
@@ -345,7 +395,11 @@ class E2TTS(nnx.Module):
         tmax = int(duration.max())
         padded_t = min(round_up_to_multiple(tmax, duration_bucket), max(max_duration, tmax))
 
-        cond = jnp.pad(cond, ((0, 0), (0, padded_t - cond_seq_len), (0, 0)))[:, :padded_t]
+        # truncate before padding: the prompt may be longer than the bucketed
+        # generation length (the reference's F.pad truncates via negative
+        # pads, e2_tts.py:1393; jnp.pad rejects negative widths)
+        cond = cond[:, :padded_t]
+        cond = jnp.pad(cond, ((0, 0), (0, padded_t - cond.shape[1]), (0, 0)))
         cond_mask = lens_to_mask(lens, length=padded_t)[..., None]
         mask = lens_to_mask(duration, length=padded_t)
 
@@ -354,7 +408,9 @@ class E2TTS(nnx.Module):
         out = _sample_ode(
             self, cfg_null_model, cond, cond_mask, mask, text, key,
             steps=steps, method=self.odeint_kwargs.get('method', 'midpoint'),
-            cfg_strength=float(cfg_strength))
+            atol=self.odeint_kwargs.get('atol'),
+            rtol=self.odeint_kwargs.get('rtol'),
+            cfg_strength=float(cfg_strength), batched_cfg=batched_cfg)
         out = out[:, :tmax]
         mask = mask[:, :tmax]
 
@@ -369,6 +425,10 @@ class E2TTS(nnx.Module):
             out = self._vocos_decode(out, mask)
 
         if exists(save_to_filename):
+            # saving needs decoded audio, not raw mel (e2_tts.py:1454)
+            assert exists(vocoder) or self.use_vocos, (
+                '`save_to_filename` requires a vocoder: pass `vocoder=` or '
+                'construct with `use_vocos=True`')
             self._save_audio(out, save_to_filename)
 
         return out
@@ -401,14 +461,15 @@ class E2TTS(nnx.Module):
     def __call__(self, inp, **kwargs):
         return self.forward(inp, **kwargs)
 
+    @typecheck
     def forward(
         self,
-        inp: jax.Array,             # (b, n, d) mel or (b, nw) raw wave
+        inp: Float[jax.Array, 'b n d'] | Float[jax.Array, 'b nw'],
         *,
-        text=None,                  # (b, nt) ids | list[str]
+        text: Int[jax.Array, 'b nt'] | list[str] | None = None,
         times=None,                 # accepted for API parity; the reference
                                     # overwrites it too (e2_tts.py:1474, 1523)
-        lens: jax.Array | None = None,
+        lens: Int[jax.Array, 'b'] | None = None,
         velocity_consistency_model: 'E2TTS | None' = None,
         velocity_consistency_delta: float = 1e-5,
         key: jax.Array | None = None,

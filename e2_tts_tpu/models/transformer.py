@@ -32,6 +32,7 @@ from e2_tts_tpu.models.hyper_connections import (
 )
 from e2_tts_tpu.ops.rotary import RotaryEmbedding
 from e2_tts_tpu.utils.helpers import exists, default, divisible_by, xnor
+from e2_tts_tpu.utils.typing import Bool, Float, Num, typecheck
 
 
 class SpeechLayer(nnx.Module):
@@ -115,7 +116,7 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
 
     def layer_fn(sl, tl, t_hcs, s_hcs, x, text_embed, skip, mask, rotary,
                  text_rotary, freq_rotary, cond, freq_cond,
-                 attn_v, text_v, freq_v):
+                 attn_v, text_v, freq_v, text_gate=None):
         norm_kwargs = dict(condition=cond) if exists(cond) else {}
         freq_norm_kwargs = dict(condition=freq_cond) if exists(freq_cond) else {}
 
@@ -136,7 +137,7 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
             t_in, add_residual = t_ff_hc(text_embed)
             text_embed = add_residual(tl.ff(tl.ff_norm(t_in)))
 
-            x, text_embed = tl.cross_condition(x, text_embed)
+            x, text_embed = tl.cross_condition(x, text_embed, gate=text_gate)
 
         # UNet skips on the speech stream (e2_tts.py:887-896)
         skip_out = x if push_skip else None
@@ -329,13 +330,15 @@ class Transformer(nnx.Module):
 
         self.final_norm = RMSNorm(dim, param_dtype=param_dtype)
 
+    @typecheck
     def __call__(
         self,
-        x: jax.Array,                       # (b, n, d) or (b, f, n, d)
-        times: jax.Array | None = None,     # (b,) or scalar
-        mask: jax.Array | None = None,      # (b, n) bool
-        text_embed: jax.Array | None = None,  # (b, n, dt)
-    ) -> jax.Array:
+        x: Float[jax.Array, 'b n d'] | Float[jax.Array, 'b f n d'],
+        times: Num[jax.Array, 'b'] | Num[jax.Array, ''] | None = None,
+        mask: Bool[jax.Array, 'b n'] | None = None,
+        text_embed: Float[jax.Array, 'b n dt'] | None = None,
+        text_cond_gate: Num[jax.Array, 'b'] | None = None,
+    ) -> Float[jax.Array, '...']:
         orig_batch = x.shape[0]
         assert xnor(x.ndim == 4, self.has_freq_axis), \
             '`has_freq_axis` must be set iff passing a 4-dim (b f n d) tensor'
@@ -348,6 +351,14 @@ class Transformer(nnx.Module):
                 text_embed = jnp.repeat(text_embed, freq_seq_len, axis=0)
             if exists(mask):
                 mask = jnp.repeat(mask, freq_seq_len, axis=0)
+            if exists(text_cond_gate):
+                text_cond_gate = jnp.repeat(text_cond_gate, freq_seq_len, axis=0)
+
+        # per-sample gate on the text->audio cross-condition adds, shaped for
+        # the (s, b, n, d) hyper-connection stream layout
+        text_gate = None
+        if exists(text_cond_gate):
+            text_gate = text_cond_gate[None, :, None, None]
 
         batch, seq_len = x.shape[0], x.shape[1]
 
@@ -426,7 +437,7 @@ class Transformer(nnx.Module):
                 self.speech_layers[ind], self.text_layers[ind],
                 self.text_hcs[ind], self.speech_hcs[ind],
                 x, text_embed, skip_in, mask, rotary, text_rot, freq_rot,
-                cond, freq_cond, attn_v, text_v, freq_v)
+                cond, freq_cond, attn_v, text_v, freq_v, text_gate)
 
             if is_first_half:
                 skips.append(skip_out)

@@ -53,10 +53,11 @@ def attention(
     # materialisation — measured faster end-to-end in training (many
     # batch*head grid rows) and far lighter on HBM. At tiny batch (sampling
     # with b=1) its grid under-fills the chip and XLA's fused attention wins,
-    # so route by parallelism. XLA also handles the attention-prob dropout.
+    # so route by parallelism. Attention-prob dropout (the reference's
+    # training default, e2_tts.py:540) runs inside the kernel via a
+    # counter-based RNG — it does not force the XLA path.
     use_pallas = backend == 'pallas' or (
         backend == 'auto'
-        and dropout_rate == 0.0
         and jax.default_backend() == 'tpu'
         and q.shape[2] >= 128   # kernel pads seq to 128: tiny sequences
                                 # (e.g. freq-axis attention over a handful of
@@ -66,9 +67,14 @@ def attention(
 
     if use_pallas:
         from e2_tts_tpu.ops.flash_attention import flash_attention
+        dropping = dropout_rate > 0.0 and exists(dropout_rng)
+        seed = (jax.random.randint(dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                   dtype=jnp.int32) if dropping else None)
         out = flash_attention(
             q, k, v.astype(q.dtype), mask,
             scale=scale, softclamp_value=softclamp_value,
+            dropout_rate=dropout_rate if dropping else 0.0,
+            dropout_seed=seed,
         )
     else:
         out = _xla_attention(
@@ -98,5 +104,8 @@ def _xla_attention(q, k, v, mask, *, scale, softclamp_value, dropout_rate, dropo
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
 
-    return jnp.einsum('bhij,bhjd->bhid', probs, v.astype(jnp.float32),
+    # probs ride the MXU in v's dtype (bf16 in the hot path — fp32 operands
+    # run at 1/4 MXU rate) with fp32 accumulation; in LASER mode v is already
+    # fp32 exp-space and stays so.
+    return jnp.einsum('bhij,bhjd->bhid', probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)

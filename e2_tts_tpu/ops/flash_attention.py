@@ -14,6 +14,16 @@ the recomputed scores. Peak memory stays O(n * d) — the XLA attention
 backward at (16, 8, 1056) holds multiple 594 MB fp32 score tensors and OOMs
 a v5e chip at larger batch.
 
+Attention-prob dropout (the reference trains with dropout=0.1 on every
+attention, e2_tts.py:540, 641, 689) runs INSIDE the kernel: a counter-based
+hash RNG (murmur3 finalizer over (seed, batch*head, abs row, abs col)) draws
+the keep mask per score tile, so the backward kernels regenerate the exact
+forward mask from the same seed with zero extra memory. Pure-jnp integer ops
+(not pltpu.prng_*) so the mask is bit-identical in interpret mode on CPU and
+reconstructible in plain JAX for parity tests (`dropout_keep_mask`). The
+softmax denominator is computed from UN-dropped probabilities (dropout after
+softmax), matching torch `F.dropout(attn, p)` semantics.
+
 All matmuls keep bf16 operands with fp32 accumulation (fp32 MXU passes run
 at 1/4 rate).
 """
@@ -24,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -33,10 +44,53 @@ NEG_INF = -1e30
 _INTERPRET = False   # flipped by tests on CPU
 
 
+# -- counter-based dropout RNG ---------------------------------------------------
+
+_U = lambda x: jnp.uint32(x)
+
+
+def _fmix32(x):
+    """murmur3 32-bit finalizer — full avalanche over a uint32 counter."""
+    x = x ^ (x >> 16)
+    x = x * _U(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * _U(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _keep_threshold(rate: float) -> int:
+    """uint32 threshold with P(bits < threshold) = rate."""
+    return min(int(rate * 4294967296.0), 4294967295)
+
+
+def _keep_tile(seed_u32, bh_u32, row0_u32, col0_u32, bq, bk, rate: float):
+    """(bq, bk) bool keep mask, a pure function of (seed, bh, abs row, abs col)
+    — the backward kernels regenerate the forward's exact mask from the same
+    coordinates."""
+    rows = row0_u32 + jax.lax.broadcasted_iota(jnp.uint32, (bq, bk), 0)
+    cols = col0_u32 + jax.lax.broadcasted_iota(jnp.uint32, (bq, bk), 1)
+    h = _fmix32(seed_u32 ^ (bh_u32 * _U(0x27D4EB2F)))
+    u = _fmix32(h + rows * _U(0x9E3779B1) + cols * _U(0x85EBCA77))
+    return u >= _U(_keep_threshold(rate))
+
+
+def dropout_keep_mask(seed, bh_total: int, n: int, rate: float) -> jax.Array:
+    """Full (bh, n, n) keep mask in plain JAX — same bits the kernels draw.
+    For tests / the XLA-parity oracle only (materialises n^2)."""
+    seed_u32 = jnp.asarray(seed).reshape(()).astype(jnp.uint32)
+    rows = jnp.arange(n, dtype=jnp.uint32)[None, :, None]
+    cols = jnp.arange(n, dtype=jnp.uint32)[None, None, :]
+    bhs = jnp.arange(bh_total, dtype=jnp.uint32)[:, None, None]
+    h = _fmix32(seed_u32 ^ (bhs * _U(0x27D4EB2F)))
+    u = _fmix32(h + rows * _U(0x9E3779B1) + cols * _U(0x85EBCA77))
+    return u >= _U(_keep_threshold(rate))
+
+
 # -- forward -------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, scale, softclamp_value):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale, softclamp_value, dropout_rate):
     """Grid (bh, nq, nk): kv is the innermost ('arbitrary') grid dim so the
     pipeline double-buffers k/v DMAs against compute; running max/denom/acc
     live in VMEM scratch."""
@@ -70,7 +124,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     p = jnp.exp(s - m_new[:, None])
     alpha = jnp.exp(m_prev - m_new)
 
+    # denominator accumulates UN-dropped probs (dropout acts after softmax)
     l_new = l_prev * alpha + p.sum(axis=-1)
+
+    if dropout_rate > 0.0:
+        bq, bk = p.shape
+        keep = _keep_tile(
+            seed_ref[0].astype(jnp.uint32),
+            pl.program_id(0).astype(jnp.uint32),
+            (pl.program_id(1) * bq).astype(jnp.uint32),
+            (kb * bk).astype(jnp.uint32),
+            bq, bk, dropout_rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+
     acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -94,7 +160,7 @@ def _pick_block(n_pad: int, target: int = 512) -> int:
     return best
 
 
-def _flash_forward(q, k, v, bias, scale, softclamp_value):
+def _flash_forward(q, k, v, bias, seed, scale, softclamp_value, dropout_rate):
     b, h, n, dh = q.shape
     # pad to the lane quantum only (128), then pick block sizes that divide
     # it — padding to a fixed 512 block would waste up to ~45% of the n^2
@@ -118,7 +184,8 @@ def _flash_forward(q, k, v, bias, scale, softclamp_value):
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
-                          softclamp_value=softclamp_value),
+                          softclamp_value=softclamp_value,
+                          dropout_rate=dropout_rate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
@@ -129,6 +196,7 @@ def _flash_forward(q, k, v, bias, scale, softclamp_value):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # dropout seed (1,)
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
@@ -148,15 +216,21 @@ def _flash_forward(q, k, v, bias, scale, softclamp_value):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=_INTERPRET,
-    )(qf, kf, vf, bias3)
+    )(qf, kf, vf, bias3, seed)
 
     out = out.reshape(b, h, n_pad, dh)[:, :, :n, :]
     return out, lse, n_pad
 
 
-def _recompute_p_ds(q, k, bias, lse, do, v, delta, *, scale, softclamp_value):
+def _recompute_p_ds(q, k, bias, lse, do, v, delta, keep_scaled, *,
+                    scale, softclamp_value):
     """Shared block math for the backward kernels: recompute probabilities and
-    the score gradient (with the softclamp jacobian). All fp32 block-local."""
+    the score gradient (with the softclamp jacobian). All fp32 block-local.
+
+    With dropout, ``keep_scaled`` is the forward's keep mask / (1 - rate):
+    the emitted probs (for dv) become p * keep_scaled and the softmax
+    backward uses d(p)_ij = keep_scaled_ij * dp_ij; delta = rowsum(do * o)
+    already equals sum_k p_dropped dp (see module docstring)."""
     s_raw = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale       # (bq, bk)
@@ -175,15 +249,33 @@ def _recompute_p_ds(q, k, bias, lse, do, v, delta, *, scale, softclamp_value):
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # (bq, bk)
-    ds = p * (dp - delta)
+    if exists(keep_scaled):
+        ds = p * (keep_scaled * dp - delta)
+        p = p * keep_scaled
+    else:
+        ds = p * (dp - delta)
     if exists(jac):
         ds = ds * jac
     ds = ds * scale
     return p, ds
 
 
+def _bwd_keep_scaled(seed_ref, qb, kb, bq, bk, dropout_rate):
+    """Regenerate the forward's keep mask (scaled) for the (qb, kb) tile."""
+    if dropout_rate <= 0.0:
+        return None
+    keep = _keep_tile(
+        seed_ref[0].astype(jnp.uint32),
+        pl.program_id(0).astype(jnp.uint32),
+        (qb * bq).astype(jnp.uint32),
+        (kb * bk).astype(jnp.uint32),
+        bq, bk, dropout_rate)
+    return keep.astype(jnp.float32) * (1.0 / (1.0 - dropout_rate))
+
+
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
-               dq_ref, dq_scr, *, scale, softclamp_value):
+               seed_ref, dq_ref, dq_scr, *, scale, softclamp_value,
+               dropout_rate, block_q, block_k):
     """Grid (bh, nq, nk): accumulate dq over key blocks."""
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
@@ -192,10 +284,13 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
+    keep_scaled = _bwd_keep_scaled(seed_ref, pl.program_id(1), kb,
+                                   block_q, block_k, dropout_rate)
     p, ds = _recompute_p_ds(
         q_ref[0], k_ref[0], bias_ref[0, 0][None, :],
         lse_ref[0, 0][:, None], do_ref[0], v_ref[0],
-        delta_ref[0, 0][:, None], scale=scale, softclamp_value=softclamp_value)
+        delta_ref[0, 0][:, None], keep_scaled,
+        scale=scale, softclamp_value=softclamp_value)
 
     dq_scr[:] += jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
@@ -207,7 +302,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, scale, softclamp_value):
+                seed_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
+                softclamp_value, dropout_rate, block_q, block_k):
     """Grid (bh, nk, nq): accumulate dk/dv over query blocks."""
     qb = pl.program_id(2)
     num_qb = pl.num_programs(2)
@@ -217,10 +313,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
+    keep_scaled = _bwd_keep_scaled(seed_ref, qb, pl.program_id(1),
+                                   block_q, block_k, dropout_rate)
     p, ds = _recompute_p_ds(
         q_ref[0], k_ref[0], bias_ref[0, 0][None, :],
         lse_ref[0, 0][:, None], do_ref[0], v_ref[0],
-        delta_ref[0, 0][:, None], scale=scale, softclamp_value=softclamp_value)
+        delta_ref[0, 0][:, None], keep_scaled,
+        scale=scale, softclamp_value=softclamp_value)
 
     dv_scr[:] += jax.lax.dot_general(
         p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
@@ -235,7 +334,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value):
+def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
+                    dropout_rate):
     b, h, n, dh = q.shape
     n_pad = round_up_to_multiple(n, 128)
     block_q = block_k = _pick_block(n_pad)
@@ -258,11 +358,8 @@ def _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value):
     delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
                     axis=-1)[:, None, :]               # (bh, 1, n_pad)
 
-    specs = dict(
-        q=pl.BlockSpec((1, block_q, dh), memory_space=pltpu.VMEM),
-        k=pl.BlockSpec((1, block_k, dh), memory_space=pltpu.VMEM),
-    )
-    common = dict(scale=scale, softclamp_value=softclamp_value)
+    common = dict(scale=scale, softclamp_value=softclamp_value,
+                  dropout_rate=dropout_rate, block_q=block_q, block_k=block_k)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
@@ -282,6 +379,7 @@ def _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value):
                          memory_space=pltpu.VMEM),   # do
             pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j),
                          memory_space=pltpu.VMEM),   # delta
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed (1,)
         ],
         out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
                                memory_space=pltpu.VMEM),
@@ -290,7 +388,7 @@ def _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=_INTERPRET,
-    )(qf, kf, vf, bias3, lse, gf, delta)
+    )(qf, kf, vf, bias3, lse, gf, delta, seed)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, **common),
@@ -310,6 +408,7 @@ def _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value):
                          memory_space=pltpu.VMEM),   # do
             pl.BlockSpec((1, 1, block_q), lambda i, j, qb: (i, 0, qb),
                          memory_space=pltpu.VMEM),   # delta
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed (1,)
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, dh), lambda i, j, qb: (i, j, 0),
@@ -328,7 +427,7 @@ def _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=_INTERPRET,
-    )(qf, kf, vf, bias3, lse, gf, delta)
+    )(qf, kf, vf, bias3, lse, gf, delta, seed)
 
     to_bhnd = lambda t: t.reshape(b, h, n_pad, dh)[:, :, :n, :]
     return to_bhnd(dq), to_bhnd(dk), to_bhnd(dv)
@@ -336,21 +435,25 @@ def _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value):
 
 # -- custom VJP ----------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, k, v, bias, scale, softclamp_value):
-    out, _, _ = _flash_forward(q, k, v, bias, scale, softclamp_value)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash(q, k, v, bias, seed, scale, softclamp_value, dropout_rate):
+    out, _, _ = _flash_forward(q, k, v, bias, seed, scale, softclamp_value,
+                               dropout_rate)
     return out
 
 
-def _flash_fwd(q, k, v, bias, scale, softclamp_value):
-    out, lse, _ = _flash_forward(q, k, v, bias, scale, softclamp_value)
-    return out, (q, k, v, bias, out, lse)
+def _flash_fwd(q, k, v, bias, seed, scale, softclamp_value, dropout_rate):
+    out, lse, _ = _flash_forward(q, k, v, bias, seed, scale, softclamp_value,
+                                 dropout_rate)
+    return out, (q, k, v, bias, seed, out, lse)
 
 
-def _flash_bwd(scale, softclamp_value, res, g):
-    q, k, v, bias, o, lse = res
-    dq, dk, dv = _flash_backward(q, k, v, bias, o, lse, g, scale, softclamp_value)
-    return dq, dk, dv, jnp.zeros_like(bias)
+def _flash_bwd(scale, softclamp_value, dropout_rate, res, g):
+    q, k, v, bias, seed, o, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, bias, seed, o, lse, g, scale,
+                                 softclamp_value, dropout_rate)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, jnp.zeros_like(bias), dseed
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -364,6 +467,8 @@ def flash_attention(
     *,
     scale: float | None = None,
     softclamp_value: float | None = None,
+    dropout_rate: float = 0.0,       # attention-prob dropout (static)
+    dropout_seed: jax.Array | int | None = None,   # int32; traced OK
 ) -> jax.Array:
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -374,4 +479,12 @@ def flash_attention(
     else:
         bias = jnp.zeros((b, n), dtype=jnp.float32)
 
-    return _flash(q, k, v, bias, scale, softclamp_value)
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0:
+        assert dropout_rate < 1.0
+        assert exists(dropout_seed), 'dropout_rate > 0 requires dropout_seed'
+        seed = jnp.asarray(dropout_seed, dtype=jnp.int32).reshape((1,))
+    else:
+        seed = jnp.zeros((1,), dtype=jnp.int32)
+
+    return _flash(q, k, v, bias, seed, scale, softclamp_value, dropout_rate)

@@ -2,9 +2,12 @@
 {model, optimizer, ema_model, scheduler, step} with auto-resume at train
 start, trainer.py:202-228, 241).
 
-Here the checkpoint is one pytree: {model, opt, ema, step}. The schedule
-needs no state — it is a pure function of `step`. Saves are atomic (orbax)
-and auto-resume restores into the live NNX modules in place.
+Here the checkpoint is one pytree: {model, opt, ema, step} plus, when
+present, {duration_predictor, dp_opt} (the trainable duration predictor the
+reference logs but never optimises, trainer.py:255-257) and the train loop's
+PRNG key for exact resume. The schedule needs no state — it is a pure
+function of `step`. Saves are atomic (orbax) and auto-resume restores into
+the live NNX modules in place.
 """
 
 from __future__ import annotations
@@ -12,6 +15,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
@@ -29,26 +33,36 @@ def _pure(state) -> dict:
     return jax.tree.map(lambda x: np.asarray(x), nnx.to_pure_dict(state))
 
 
-def save_checkpoint(path: str, *, model, optimizer=None, ema=None, step: int = 0):
-    """Write {model, opt, ema, step} to `path` (a directory), atomically
-    replacing any previous checkpoint."""
+def save_checkpoint(path: str, *, model, optimizer=None, ema=None, step: int = 0,
+                    duration_predictor=None, dp_optimizer=None, key=None):
+    """Write {model, opt, ema, [duration_predictor, dp_opt, key], step} to
+    `path` (a directory), atomically replacing any previous checkpoint."""
     path = os.path.abspath(path)
     item = dict(model=_pure(nnx.state(model, _SAVED)), step=np.asarray(step, dtype=np.int64))
     if exists(optimizer):
         item['opt'] = _pure(nnx.state(optimizer, _SAVED))
     if exists(ema):
         item['ema'] = _pure(nnx.state(ema, _SAVED))
+    if exists(duration_predictor):
+        item['duration_predictor'] = _pure(nnx.state(duration_predictor, _SAVED))
+    if exists(dp_optimizer):
+        item['dp_opt'] = _pure(nnx.state(dp_optimizer, _SAVED))
+    if exists(key):
+        # typed PRNG keys don't serialise; store the raw key data
+        item['key'] = np.asarray(jax.random.key_data(key))
 
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, item, force=True)
     ckptr.close()
 
 
-def load_checkpoint(path: str, *, model, optimizer=None, ema=None) -> int:
-    """Restore in place; returns the saved step (0 if no checkpoint)."""
+def load_checkpoint(path: str, *, model, optimizer=None, ema=None,
+                    duration_predictor=None, dp_optimizer=None):
+    """Restore in place; returns (step, key) — (0, None) if no checkpoint,
+    key None if the checkpoint predates key saving."""
     path = os.path.abspath(path)
     if not os.path.exists(path):
-        return 0
+        return 0, None
 
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(path)
@@ -64,5 +78,13 @@ def load_checkpoint(path: str, *, model, optimizer=None, ema=None) -> int:
         _update(optimizer, restored['opt'])
     if exists(ema) and 'ema' in restored:
         _update(ema, restored['ema'])
+    if exists(duration_predictor) and 'duration_predictor' in restored:
+        _update(duration_predictor, restored['duration_predictor'])
+    if exists(dp_optimizer) and 'dp_opt' in restored:
+        _update(dp_optimizer, restored['dp_opt'])
 
-    return int(restored['step'])
+    key = None
+    if 'key' in restored and restored['key'] is not None:
+        key = jax.random.wrap_key_data(jnp.asarray(restored['key']))
+
+    return int(restored['step']), key

@@ -85,6 +85,10 @@ class E2Trainer:
         use_tensorboard: bool = False,
         profile_dir: str | None = None,   # jax.profiler trace output (Perfetto/TB)
         profile_steps: tuple[int, int] = (10, 15),  # [start, stop) steps to trace
+        log_step: int = 10,               # host-sync/log losses every N steps —
+                                          # per-step device_get serialises
+                                          # dispatch (the only per-step host
+                                          # work left is the tqdm tick)
         seed: int = 0,
     ):
         if hasattr(logger, 'add') and exists(log_file):
@@ -115,11 +119,14 @@ class E2Trainer:
         self._user_optimizer = optimizer
         self.schedule = None
         self.optimizer = None
+        self.dp_optimizer = None
         if exists(total_steps):
             self._build_optimizer(total_steps)
 
         self.checkpoint_path = default(checkpoint_path, 'e2tts_ckpt')
         self.seed = seed
+        self.log_step = max(int(log_step), 1)
+        self._ema_initted_host = False   # monotone: sync once, never again
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
         self._profiling = False
@@ -134,6 +141,11 @@ class E2Trainer:
 
         self._train_step = self._build_train_step()
         self._dp_step = self._build_dp_step()
+
+        @nnx.jit
+        def dp_eval_step(dp, mel, mel_lens, key):
+            return dp(mel, lens=mel_lens, return_loss=True, key=key)
+        self._dp_eval_step = dp_eval_step
 
     def _place_module(self, module):
         if self.param_sharding == 'fsdp':
@@ -198,13 +210,21 @@ class E2Trainer:
 
     # -- checkpointing (reference: trainer.py:202-228) -----------------------
 
-    def save_checkpoint(self, step: int):
-        save_checkpoint(self.checkpoint_path, model=self.model,
-                        optimizer=self.optimizer, ema=self.ema, step=step)
+    def save_checkpoint(self, step: int, key=None):
+        save_checkpoint(
+            self.checkpoint_path, model=self.model,
+            optimizer=self.optimizer, ema=self.ema, step=step,
+            duration_predictor=(self.duration_predictor
+                                if self.train_duration_predictor else None),
+            dp_optimizer=self.dp_optimizer, key=key)
 
-    def load_checkpoint(self) -> int:
-        return load_checkpoint(self.checkpoint_path, model=self.model,
-                               optimizer=self.optimizer, ema=self.ema)
+    def load_checkpoint(self):
+        return load_checkpoint(
+            self.checkpoint_path, model=self.model,
+            optimizer=self.optimizer, ema=self.ema,
+            duration_predictor=(self.duration_predictor
+                                if self.train_duration_predictor else None),
+            dp_optimizer=self.dp_optimizer)
 
     # -- tracing / profiling (SURVEY.md §5: reference has none; here a
     # jax.profiler device trace is captured for a configurable step window) --
@@ -257,13 +277,36 @@ class E2Trainer:
             self._build_optimizer(max(steps_per_epoch * epochs,
                                       self.num_warmup_steps + 1))
 
-        start_step = self.load_checkpoint()
+        start_step, saved_key = self.load_checkpoint()
         global_step = start_step
-        key = jax.random.key(self.seed + start_step)
+        key = default(saved_key, jax.random.key(self.seed + start_step))
+
+        def ema_ready() -> bool:
+            if not self._ema_initted_host:
+                self._ema_initted_host = bool(jax.device_get(self.ema.initted))
+            return self._ema_initted_host
 
         for epoch in range(epochs):
             model.train()
             epoch_loss, n_batches = 0.0, 0
+            pending = []     # (step, device loss, device duration loss | None)
+
+            def flush_pending():
+                nonlocal epoch_loss
+                if not pending:
+                    return
+                host = jax.device_get([(s, l, d) for s, l, d in pending])
+                for s, l, d in host:
+                    loss_f = float(l)
+                    if hasattr(logger, 'info'):
+                        logger.info(f'step {s + 1}: loss = {loss_f:.4f}')
+                    self._log_scalar('loss', loss_f, s)
+                    if d is not None:
+                        self._log_scalar('duration loss', float(d), s)
+                    if exists(self.schedule):
+                        self._log_scalar('lr', self.schedule(s), s)
+                    epoch_loss += loss_f
+                pending.clear()
 
             batches = iter_batches(train_dataset, batch_size,
                                    shuffle=True, seed=self.seed + epoch,
@@ -296,6 +339,7 @@ class E2Trainer:
                 # duration-predictor side loss. The reference computes and
                 # logs it but never backpropagates (trainer.py:255-257);
                 # `train_duration_predictor=True` actually optimises it.
+                dur_loss = None
                 if exists(self.duration_predictor):
                     key, dp_key = jax.random.split(key)
                     if self.train_duration_predictor:
@@ -303,15 +347,14 @@ class E2Trainer:
                             self.duration_predictor, self.dp_optimizer,
                             device_batch['mel'], device_batch['mel_lens'], dp_key)
                     else:
-                        dur_loss = self.duration_predictor(
-                            device_batch['mel'], lens=device_batch['mel_lens'],
-                            return_loss=True, key=dp_key)
-                    self._log_scalar('duration loss', dur_loss, global_step)
+                        dur_loss = self._dp_eval_step(
+                            self.duration_predictor,
+                            device_batch['mel'], device_batch['mel_lens'], dp_key)
 
                 self._maybe_profile(global_step)
 
                 use_velocity = (self.need_velocity_consistent_loss
-                                and bool(jax.device_get(self.ema.initted)))
+                                and ema_ready())
                 drop_text_cond = rng.random() < model.cond_drop_prob
 
                 key, step_key = jax.random.split(key)
@@ -321,23 +364,20 @@ class E2Trainer:
                     device_batch['text'], step_key,
                     drop_text_cond, use_velocity)
 
-                loss_f = float(jax.device_get(loss))
-                if hasattr(logger, 'info'):
-                    logger.info(f'step {global_step + 1}: loss = {loss_f:.4f}')
-                self._log_scalar('loss', loss_f, global_step)
-                if exists(self.schedule):
-                    self._log_scalar('lr', self.schedule(global_step), global_step)
-
+                pending.append((global_step, loss, dur_loss))
                 global_step += 1
-                epoch_loss += loss_f
                 n_batches += 1
+                if len(pending) >= self.log_step:
+                    flush_pending()
 
                 if global_step % save_step == 0:
-                    self.save_checkpoint(global_step)
+                    flush_pending()
+                    self.save_checkpoint(global_step, key=key)
                     self._log_figure('mel/target', mel[0], global_step)
                     self._log_figure('mel/mask', jax.device_get(cond)[0], global_step)
                     self._log_figure('mel/prediction', jax.device_get(pred_data)[0], global_step)
 
+            flush_pending()
             if n_batches:
                 avg = epoch_loss / n_batches
                 if hasattr(logger, 'info'):

@@ -268,7 +268,7 @@ def test_attention_auto_routing_guards():
     routed = {}
     real_flash = {}
 
-    def fake_flash(q, k, v, mask, *, scale, softclamp_value):
+    def fake_flash(q, k, v, mask, *, scale, softclamp_value, **kw):
         routed['pallas'] = True
         return att._xla_attention(q, k, v, mask, scale=scale,
                                   softclamp_value=softclamp_value,

@@ -78,6 +78,92 @@ def test_attention_op_backend_dispatch():
                                    atol=3e-5, rtol=1e-4)
 
 
+def _oracle_dropout_attention(q, k, v, mask, seed, rate, softclamp=None):
+    """Plain-JAX attention applying the exact keep mask the kernel draws
+    (fa.dropout_keep_mask reproduces the in-kernel counter-based RNG)."""
+    b, h, n, dh = q.shape
+    logits = jnp.einsum('bhid,bhjd->bhij', q, k) * dh ** -0.5
+    if softclamp is not None:
+        logits = jnp.tanh(logits / softclamp) * softclamp
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    keep = fa.dropout_keep_mask(seed, b * h, n, rate).reshape(b, h, n, n)
+    probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    return jnp.einsum('bhij,bhjd->bhid', probs, v)
+
+
+@pytest.mark.parametrize('rate', [0.1, 0.5])
+def test_flash_dropout_matches_oracle(rate):
+    q, k, v = make_qkv()
+    mask = jnp.asarray(np.random.default_rng(1).random((2, 100)) > 0.3)
+    mask = mask.at[:, 0].set(True)
+    seed = 1234
+
+    ours = fa.flash_attention(q, k, v, mask, softclamp_value=50.0,
+                              dropout_rate=rate, dropout_seed=seed)
+    ref = _oracle_dropout_attention(q, k, v, mask, seed, rate, softclamp=50.0)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_dropout_multiblock_deterministic():
+    """n=600 pads to 640 -> 5x5 key/query blocks: the keep mask must be
+    consistent across tiles and across repeated calls."""
+    q, k, v = make_qkv(b=1, h=1, n=600, dh=32)
+    out1 = fa.flash_attention(q, k, v, None, dropout_rate=0.2, dropout_seed=7)
+    out2 = fa.flash_attention(q, k, v, None, dropout_rate=0.2, dropout_seed=7)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    ref = _oracle_dropout_attention(q, k, v, None, 7, 0.2)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref), atol=3e-5)
+
+    out3 = fa.flash_attention(q, k, v, None, dropout_rate=0.2, dropout_seed=8)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+
+def test_flash_dropout_grads_match_oracle():
+    """The block-wise backward regenerates the forward's exact keep mask:
+    custom-VJP grads == autodiff through the oracle with the same mask."""
+    q, k, v = make_qkv(b=1, h=2, n=40, dh=16, seed=3)
+    mask = jnp.ones((1, 40), dtype=bool).at[0, 30:].set(False)
+    seed, rate = 99, 0.3
+
+    def loss_flash(q, k, v):
+        out = fa.flash_attention(q, k, v, mask, softclamp_value=50.0,
+                                 dropout_rate=rate, dropout_seed=seed)
+        return (out ** 2).sum()
+
+    def loss_oracle(q, k, v):
+        out = _oracle_dropout_attention(q, k, v, mask, seed, rate, softclamp=50.0)
+        return (out ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)
+
+
+def test_flash_dropout_keep_rate():
+    keep = fa.dropout_keep_mask(42, 4, 256, 0.1)
+    rate = 1.0 - float(keep.mean())
+    assert abs(rate - 0.1) < 0.005
+
+
+def test_attention_op_pallas_dropout():
+    """The public op routes dropout through the kernel when backend='pallas';
+    the derived seed reproduces through the same randint draw."""
+    q, k, v = make_qkv(n=64)
+    mask = jnp.ones((2, 64), dtype=bool)
+    rng = jax.random.key(5)
+
+    out = attention(q, k, v, mask, softclamp_value=50.0, dropout_rate=0.25,
+                    dropout_rng=rng, backend='pallas')
+    seed = jax.random.randint(rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    ref = _oracle_dropout_attention(q, k, v, mask, seed[0], 0.25, softclamp=50.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_flash_bf16():
     q, k, v = (t.astype(jnp.bfloat16) for t in make_qkv(n=64))
     out = fa.flash_attention(q, k, v, None, softclamp_value=50.0)

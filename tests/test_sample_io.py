@@ -1,14 +1,20 @@
-"""sample() IO paths: vocoder callable, wav save, determinism, audio_io."""
+"""sample() IO paths: vocoder callable, built-in Vocos decode, wav save,
+determinism, audio_io."""
 
+import importlib.util
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import nnx
 
 from e2_tts_tpu.models.e2tts import E2TTS
+from e2_tts_tpu.ops.mel import db_to_amplitude
 from e2_tts_tpu.utils.audio_io import save_wav, load_wav
+
+HAVE_VOCOS = importlib.util.find_spec('vocos') is not None
 
 SMALL_TF = dict(dim=64, depth=2, heads=2, dim_head=16, ff_mult=2,
                 num_registers=2, max_seq_len=128, kernel_size=7, dropout=0.0,
@@ -50,6 +56,89 @@ def test_sample_with_vocoder_callable(tmp_path):
     # per-sample files '1.out.wav', '2.out.wav' (reference e2_tts.py:1463)
     assert os.path.exists(str(tmp_path / '1.out.wav'))
     assert os.path.exists(str(tmp_path / '2.out.wav'))
+
+
+class _FakeVocos:
+    """Stands in for torch Vocos: decode((1, d, n) torch tensor) -> (1, s)."""
+
+    def __init__(self):
+        self.inputs = []
+
+    def decode(self, mel):
+        import torch
+        assert mel.ndim == 3 and mel.shape[0] == 1
+        self.inputs.append(np.asarray(mel[0].numpy()))
+        return torch.zeros((1, mel.shape[-1] * 256)) + 0.25
+
+
+def test_use_vocos_decode_path():
+    """Built-in Vocos decode (e2_tts.py:1440-1451): per-sample masked decode
+    with the reference's DB_to_amplitude quirk applied to the ln-mel."""
+    model = small_e2tts(use_vocos=True, sampling_rate=24000)
+    fake = _FakeVocos()
+    model._vocos = fake   # injected; the real package is loaded lazily
+
+    prompt = jax.random.normal(jax.random.key(0), (2, 8, 100))
+    lens = jnp.array([8, 8], dtype=jnp.int32)
+    out = model.sample(prompt, text=['a', 'b'], lens=lens, duration=16,
+                       steps=2, key=jax.random.key(1), duration_bucket=16)
+
+    assert len(out) == 2 and all(o.shape[-1] == 16 * 256 for o in out)
+    assert len(fake.inputs) == 2
+    # decode input is (d, n_i) = DB_to_amplitude(mel[mask]).T
+    for got in fake.inputs:
+        assert got.shape[0] == 100
+    raw = model.sample(prompt, text=['a', 'b'], lens=lens, duration=16,
+                       steps=2, key=jax.random.key(1), duration_bucket=16,
+                       return_raw_output=True)
+    expected = np.asarray(db_to_amplitude(raw[0], 1.0, 0.5)).T
+    np.testing.assert_allclose(fake.inputs[0], expected, atol=1e-4, rtol=1e-4)
+
+
+def test_use_vocos_save_to_filename(tmp_path):
+    model = small_e2tts(use_vocos=True, sampling_rate=24000)
+    model._vocos = _FakeVocos()
+    prompt = jax.random.normal(jax.random.key(0), (2, 8, 100))
+    model.sample(prompt, text=['a', 'b'], duration=16, steps=2,
+                 key=jax.random.key(1), duration_bucket=16,
+                 save_to_filename=str(tmp_path / 'out.wav'))
+    for i in (1, 2):
+        wav, sr = load_wav(str(tmp_path / f'{i}.out.wav'))
+        assert sr == 24000 and wav.size == 16 * 256
+
+
+def test_save_without_vocoder_raises(tmp_path):
+    """The reference asserts a vocoder exists before saving (e2_tts.py:1454);
+    saving raw mel as wav would silently write garbage."""
+    model = small_e2tts(sampling_rate=24000)
+    prompt = jax.random.normal(jax.random.key(0), (1, 8, 100))
+    with pytest.raises(AssertionError, match='vocoder'):
+        model.sample(prompt, text=['a'], duration=16, steps=2,
+                     key=jax.random.key(1), duration_bucket=16,
+                     save_to_filename=str(tmp_path / 'out.wav'))
+
+
+@pytest.mark.skipif(not HAVE_VOCOS, reason='torch vocos package not installed')
+def test_use_vocos_real_package(tmp_path):
+    model = small_e2tts(use_vocos=True, sampling_rate=24000)
+    prompt = jax.random.normal(jax.random.key(0), (1, 8, 100))
+    out = model.sample(prompt, text=['a'], duration=16, steps=2,
+                       key=jax.random.key(1), duration_bucket=16,
+                       save_to_filename=str(tmp_path / 'out.wav'))
+    assert len(out) == 1
+    assert os.path.exists(str(tmp_path / '1.out.wav'))
+
+
+def test_sample_prompt_longer_than_generation():
+    """Prompt with more frames than the bucketed generation length must be
+    truncated, not crash with a negative pad (the reference's F.pad truncates,
+    e2_tts.py:1393; ADVICE r1)."""
+    model = small_e2tts()
+    prompt = jax.random.normal(jax.random.key(0), (1, 40, 100))
+    out = model.sample(prompt, text=['hi'], lens=jnp.array([8], jnp.int32),
+                       duration=16, steps=2, key=jax.random.key(1),
+                       duration_bucket=16, return_raw_output=True)
+    assert out.shape == (1, 16, 100)
 
 
 def test_sample_deterministic_given_key():

