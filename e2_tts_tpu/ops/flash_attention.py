@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from e2_tts_tpu.utils.helpers import exists, round_up_to_multiple
+from e2_tts_tpu.utils.helpers import exists
 
 NEG_INF = -1e30
 _INTERPRET = False   # flipped by tests on CPU
@@ -87,13 +87,80 @@ def dropout_keep_mask(seed, bh_total: int, n: int, rate: float) -> jax.Array:
     return u >= _U(_keep_threshold(rate))
 
 
+# -- ragged-tail hygiene ---------------------------------------------------------
+#
+# Block sizes need not divide seq_len: Mosaic handles the short tail block by
+# masking stores, but the out-of-range VMEM rows of INPUT blocks are undefined
+# (measured on v5e: stale, can be NaN — 0 * NaN would poison in-range outputs
+# through the matmul contractions). The fix costs only the tail tile: under a
+# lax.cond on the tile index, zero the garbage rows of contraction operands and
+# fold the column/row masking into the 1-D bias/lse/delta vectors the kernels
+# already consume. Interior tiles run the exact unmasked fast path.
+
+
+def _zero_rows_from(t, start_row, limit):
+    """Zero rows >= limit of a block whose row r is absolute `start_row + r`."""
+    rows = start_row + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    return jnp.where(rows < limit, t, 0).astype(t.dtype)
+
+
+def _clean_kv_tail(k, v, bias_row, kb, num_kb, seq_len):
+    """On the tail kv tile: zero k/v garbage rows (k: finite scores; v: PV
+    contraction) and set bias NEG_INF on out-of-range columns (makes softmax
+    probs exactly 0 there, so no 2-D score masking is ever needed)."""
+    bk = k.shape[0]
+    if seq_len % bk == 0:
+        return k, v, bias_row
+
+    def _clean(ops):
+        k, v, bias_row = ops
+        base = kb * bk
+        k = _zero_rows_from(k, base, seq_len)
+        v = _zero_rows_from(v, base, seq_len)
+        col = base + jax.lax.broadcasted_iota(jnp.int32, bias_row.shape, 1)
+        bias_row = jnp.where(col < seq_len, bias_row, NEG_INF)
+        return k, v, bias_row
+
+    return jax.lax.cond(kb == num_kb - 1, _clean, lambda ops: ops,
+                        (k, v, bias_row))
+
+
+def _clean_q_tail(q, do, lse_row, delta_row, qb, num_qb, seq_len):
+    """On the tail q tile (dkv kernel): zero q/do garbage rows (both ride the
+    over-rows contraction into dk/dv) and fold the row masking into the 1-D
+    lse (+LARGE => p = 0) and delta (0) vectors."""
+    bq = q.shape[0]
+    if seq_len % bq == 0:
+        return q, do, lse_row, delta_row
+
+    def _clean(ops):
+        q, do, lse_row, delta_row = ops
+        base = qb * bq
+        q = _zero_rows_from(q, base, seq_len)
+        do = _zero_rows_from(do, base, seq_len)
+        row = base + jax.lax.broadcasted_iota(jnp.int32, lse_row.shape, 1)
+        lse_row = jnp.where(row < seq_len, lse_row, -NEG_INF)
+        delta_row = jnp.where(row < seq_len, delta_row, 0.0)
+        return q, do, lse_row, delta_row
+
+    return jax.lax.cond(qb == num_qb - 1, _clean, lambda ops: ops,
+                        (q, do, lse_row, delta_row))
+
+
 # -- forward -------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, scale, softclamp_value, dropout_rate):
+                m_scr, l_scr, acc_scr, *, scale, softclamp_value, dropout_rate,
+                seq_len):
     """Grid (bh, nq, nk): kv is the innermost ('arbitrary') grid dim so the
     pipeline double-buffers k/v DMAs against compute; running max/denom/acc
-    live in VMEM scratch."""
+    live in VMEM scratch.
+
+    `seq_len` is the true (unpadded) length: the grid may have a ragged tail
+    block whose out-of-range VMEM rows read garbage (measured: can be NaN).
+    Only the tail tile pays for cleaning (`_clean_kv_tail` under lax.cond);
+    Mosaic masks tail-row stores. No HBM-level pad/slice copies around the
+    kernel (they cost ~1.3 ms per attention at flagship shape)."""
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
 
@@ -106,6 +173,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
     q = q_ref[0]                                       # (bq, dh) compute dtype
     k = k_ref[0]                                       # (bk, dh)
     v = v_ref[0]
+    bias_row = bias_ref[0]                             # (1, bk) fp32
+
+    k, v, bias_row = _clean_kv_tail(k, v, bias_row, kb, num_kb, seq_len)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -114,7 +184,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
     if exists(softclamp_value):
         s = jnp.tanh(s / softclamp_value) * softclamp_value
 
-    s = s + bias_ref[0, 0][None, :]
+    s = s + bias_row
 
     m_prev = m_scr[:, 0]
     l_prev = l_scr[:, 0]
@@ -151,41 +221,34 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
         lse_ref[0, 0] = m_scr[:, 0] + jnp.log(l_fin)
 
 
-def _pick_block(n_pad: int, target: int = 512) -> int:
-    """Largest multiple-of-128 divisor of n_pad not exceeding target."""
-    best = 128
-    for b in range(128, target + 1, 128):
-        if n_pad % b == 0:
-            best = b
+def _pick_block(n: int, target: int = 512) -> int:
+    """Block size from {128..target} minimising padded work ceil(n/b)*b
+    (largest block on ties) — the kernels mask the ragged tail in-kernel,
+    so n need not divide the block."""
+    best, best_total = 128, ((n + 127) // 128) * 128
+    for b in range(256, target + 1, 128):
+        total = -(-n // b) * b
+        if total <= best_total:
+            best, best_total = b, total
     return best
 
 
 def _flash_forward(q, k, v, bias, seed, scale, softclamp_value, dropout_rate):
     b, h, n, dh = q.shape
-    # pad to the lane quantum only (128), then pick block sizes that divide
-    # it — padding to a fixed 512 block would waste up to ~45% of the n^2
-    # work at typical lengths (e.g. 1056 -> 1536)
-    n_pad = round_up_to_multiple(n, 128)
-    block_q = block_k = _pick_block(n_pad)
+    block_q = block_k = _pick_block(n)
 
-    pad = n_pad - n
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
-    bias3 = bias[:, None, :]   # (b, 1, n_pad): TPU-tileable block shape
+    bias3 = bias[:, None, :]   # (b, 1, n): TPU-tileable block shape
 
-    qf = q.reshape(b * h, n_pad, dh)
-    kf = k.reshape(b * h, n_pad, dh)
-    vf = v.reshape(b * h, n_pad, dh)
+    qf = q.reshape(b * h, n, dh)
+    kf = k.reshape(b * h, n, dh)
+    vf = v.reshape(b * h, n, dh)
 
-    grid = (b * h, n_pad // block_q, n_pad // block_k)
+    grid = (b * h, -(-n // block_q), -(-n // block_k))
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
                           softclamp_value=softclamp_value,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, seq_len=n),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
@@ -205,8 +268,8 @@ def _flash_forward(q, k, v, bias, seed, scale, softclamp_value, dropout_rate):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, n_pad, dh), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, n), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),    # running max
@@ -218,8 +281,7 @@ def _flash_forward(q, k, v, bias, seed, scale, softclamp_value, dropout_rate):
         interpret=_INTERPRET,
     )(qf, kf, vf, bias3, seed)
 
-    out = out.reshape(b, h, n_pad, dh)[:, :, :n, :]
-    return out, lse, n_pad
+    return out.reshape(b, h, n, dh), lse
 
 
 def _recompute_p_ds(q, k, bias, lse, do, v, delta, keep_scaled, *,
@@ -230,7 +292,12 @@ def _recompute_p_ds(q, k, bias, lse, do, v, delta, keep_scaled, *,
     With dropout, ``keep_scaled`` is the forward's keep mask / (1 - rate):
     the emitted probs (for dv) become p * keep_scaled and the softmax
     backward uses d(p)_ij = keep_scaled_ij * dp_ij; delta = rowsum(do * o)
-    already equals sum_k p_dropped dp (see module docstring)."""
+    already equals sum_k p_dropped dp (see module docstring).
+
+    Ragged-tail hygiene happens in the callers (`_clean_kv_tail` /
+    `_clean_q_tail`): inputs here are already finite, with bias NEG_INF on
+    out-of-range columns (=> p exactly 0) and lse +LARGE on out-of-range rows
+    where that matters (dkv)."""
     s_raw = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale       # (bq, bk)
@@ -275,8 +342,11 @@ def _bwd_keep_scaled(seed_ref, qb, kb, bq, bk, dropout_rate):
 
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
                seed_ref, dq_ref, dq_scr, *, scale, softclamp_value,
-               dropout_rate, block_q, block_k):
-    """Grid (bh, nq, nk): accumulate dq over key blocks."""
+               dropout_rate, block_q, block_k, seq_len):
+    """Grid (bh, nq, nk): accumulate dq over key blocks.
+
+    Ragged q tail needs no handling here: garbage q/lse/delta rows only
+    produce garbage dq rows, which Mosaic's masked store drops."""
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
 
@@ -284,16 +354,18 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
+    k, v, bias_row = _clean_kv_tail(k_ref[0], v_ref[0], bias_ref[0],
+                                    kb, num_kb, seq_len)
+
     keep_scaled = _bwd_keep_scaled(seed_ref, pl.program_id(1), kb,
                                    block_q, block_k, dropout_rate)
     p, ds = _recompute_p_ds(
-        q_ref[0], k_ref[0], bias_ref[0, 0][None, :],
-        lse_ref[0, 0][:, None], do_ref[0], v_ref[0],
+        q_ref[0], k, bias_row, lse_ref[0, 0][:, None], do_ref[0], v,
         delta_ref[0, 0][:, None], keep_scaled,
         scale=scale, softclamp_value=softclamp_value)
 
     dq_scr[:] += jax.lax.dot_general(
-        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(kb == num_kb - 1)
@@ -303,8 +375,14 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
                 seed_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
-                softclamp_value, dropout_rate, block_q, block_k):
-    """Grid (bh, nk, nq): accumulate dk/dv over query blocks."""
+                softclamp_value, dropout_rate, block_q, block_k, seq_len):
+    """Grid (bh, nk, nq): accumulate dk/dv over query blocks.
+
+    Ragged kv tail needs no handling here: garbage k/v/bias columns only
+    produce garbage dk/dv rows on the tail kv tile, which the masked store
+    drops. The q tail DOES matter — garbage q/do rows ride the over-rows
+    contraction into every dk/dv row — so the tail q tile zeroes q/do and
+    folds the row mask into lse (+LARGE => p = 0) and delta (0)."""
     qb = pl.program_id(2)
     num_qb = pl.num_programs(2)
 
@@ -313,19 +391,21 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
+    q, do, lse_row, delta_row = _clean_q_tail(
+        q_ref[0], do_ref[0], lse_ref[0], delta_ref[0], qb, num_qb, seq_len)
+
     keep_scaled = _bwd_keep_scaled(seed_ref, qb, pl.program_id(1),
                                    block_q, block_k, dropout_rate)
     p, ds = _recompute_p_ds(
-        q_ref[0], k_ref[0], bias_ref[0, 0][None, :],
-        lse_ref[0, 0][:, None], do_ref[0], v_ref[0],
-        delta_ref[0, 0][:, None], keep_scaled,
+        q, k_ref[0], bias_ref[0], lse_row[0][:, None], do, v_ref[0],
+        delta_row[0][:, None], keep_scaled,
         scale=scale, softclamp_value=softclamp_value)
 
     dv_scr[:] += jax.lax.dot_general(
-        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dk_scr[:] += jax.lax.dot_general(
-        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(qb == num_qb - 1)
@@ -337,33 +417,29 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
 def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
                     dropout_rate):
     b, h, n, dh = q.shape
-    n_pad = round_up_to_multiple(n, 128)
-    block_q = block_k = _pick_block(n_pad)
+    block_q = block_k = _pick_block(n)
 
-    pad = n_pad - n
-    if pad:
-        zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
-        q, k, v, o, g = (jnp.pad(t, zpad) for t in (q, k, v, o, g))
-        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
-        # lse already (bh, 1, n_pad)
     bias3 = bias[:, None, :]
 
-    qf = q.reshape(b * h, n_pad, dh)
-    kf = k.reshape(b * h, n_pad, dh)
-    vf = v.reshape(b * h, n_pad, dh)
-    of = o.reshape(b * h, n_pad, dh)
-    gf = g.reshape(b * h, n_pad, dh)
+    qf = q.reshape(b * h, n, dh)
+    kf = k.reshape(b * h, n, dh)
+    vf = v.reshape(b * h, n, dh)
+    of = o.reshape(b * h, n, dh)
+    gf = g.reshape(b * h, n, dh)
 
     # delta = rowsum(do * o) — tiny elementwise pre-pass in XLA
     delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
-                    axis=-1)[:, None, :]               # (bh, 1, n_pad)
+                    axis=-1)[:, None, :]               # (bh, 1, n)
 
     common = dict(scale=scale, softclamp_value=softclamp_value,
-                  dropout_rate=dropout_rate, block_q=block_q, block_k=block_k)
+                  dropout_rate=dropout_rate, block_q=block_q, block_k=block_k,
+                  seq_len=n)
+    nq_blocks = -(-n // block_q)
+    nk_blocks = -(-n // block_k)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
-        grid=(b * h, n_pad // block_q, n_pad // block_k),
+        grid=(b * h, nq_blocks, nk_blocks),
         in_specs=[
             pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),   # q
@@ -383,7 +459,7 @@ def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
         ],
         out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, dh), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
@@ -392,7 +468,7 @@ def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, **common),
-        grid=(b * h, n_pad // block_k, n_pad // block_q),
+        grid=(b * h, nk_blocks, nq_blocks),
         in_specs=[
             pl.BlockSpec((1, block_q, dh), lambda i, j, qb: (i, qb, 0),
                          memory_space=pltpu.VMEM),   # q
@@ -417,8 +493,8 @@ def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, n_pad, dh), k.dtype),
-            jax.ShapeDtypeStruct((b * h, n_pad, dh), v.dtype),
+            jax.ShapeDtypeStruct((b * h, n, dh), k.dtype),
+            jax.ShapeDtypeStruct((b * h, n, dh), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, dh), jnp.float32),
@@ -429,7 +505,7 @@ def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
         interpret=_INTERPRET,
     )(qf, kf, vf, bias3, lse, gf, delta, seed)
 
-    to_bhnd = lambda t: t.reshape(b, h, n_pad, dh)[:, :, :n, :]
+    to_bhnd = lambda t: t.reshape(b, h, n, dh)
     return to_bhnd(dq), to_bhnd(dk), to_bhnd(dv)
 
 
@@ -437,14 +513,14 @@ def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _flash(q, k, v, bias, seed, scale, softclamp_value, dropout_rate):
-    out, _, _ = _flash_forward(q, k, v, bias, seed, scale, softclamp_value,
-                               dropout_rate)
+    out, _ = _flash_forward(q, k, v, bias, seed, scale, softclamp_value,
+                            dropout_rate)
     return out
 
 
 def _flash_fwd(q, k, v, bias, seed, scale, softclamp_value, dropout_rate):
-    out, lse, _ = _flash_forward(q, k, v, bias, seed, scale, softclamp_value,
-                                 dropout_rate)
+    out, lse = _flash_forward(q, k, v, bias, seed, scale, softclamp_value,
+                              dropout_rate)
     return out, (q, k, v, bias, seed, out, lse)
 
 

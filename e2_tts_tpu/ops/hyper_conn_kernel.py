@@ -1,14 +1,16 @@
-"""Pallas kernel for the hyper-connections width connection.
+"""Pallas kernels for the hyper-connections width connection.
 
 The width connection (arXiv 2409.19606; models/hyper_connections.py) is a
 bandwidth-bound chain — rms-stat, two tiny projections, tanh, and a 4->5
 stream mix — that XLA executes ~10x off memory-bound (measured 2.4 ms per
 call at (4, 16x1056, 512) bf16 on v5e vs ~0.25 ms of pure HBM traffic).
-This kernel does the whole chain in one VMEM pass per row tile: streams are
-read once and the mixed streams written once.
+The forward kernel does the whole chain in one VMEM pass per row tile:
+streams are read once and the mixed streams written once.
 
-Backward: custom VJP that replays the pure-XLA reference implementation
-under jax.vjp — numerically identical gradients, no hand-derived adjoint.
+Backward: a hand-derived adjoint kernel with the same single-pass structure
+(read r + g_mixed once, write g_r once; parameter grads accumulate in
+fp32 output blocks across the sequential row-tile grid). The pure-XLA
+vjp-replay path is kept as the non-TPU fallback and as the test oracle.
 """
 
 from __future__ import annotations
@@ -145,6 +147,197 @@ def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
     return mixed[:, :m], beta[:, :m]
 
 
+def _width_bwd_kernel(r_ref, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
+                      scales_ref, gr_ref, gsa_ref, gsb_ref, gaw_ref, gbw_ref,
+                      gscales_ref, *, num_streams):
+    """Adjoint of the width connection, one VMEM pass per row tile.
+
+    Recomputes the cheap forward intermediates (rms stat, projections, tanh)
+    from the residuals, then applies the hand-derived chain rule. Parameter
+    gradients accumulate in fp32 output blocks (constant index map — the
+    sequential row-tile grid revisits the same VMEM block)."""
+    s = num_streams
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        gsa_ref[...] = jnp.zeros_like(gsa_ref)
+        gsb_ref[...] = jnp.zeros_like(gsb_ref)
+        gaw_ref[...] = jnp.zeros_like(gaw_ref)
+        gbw_ref[...] = jnp.zeros_like(gbw_ref)
+        gscales_ref[...] = jnp.zeros_like(gscales_ref)
+
+    a_scale = scales_ref[0, 0]
+    b_scale = scales_ref[0, 1]
+
+    r = r_ref[...]                      # (s, T, d) compute dtype
+    gm = gm_ref[...]                    # (s+1, T, d)
+    gb = gb_ref[...]                    # (s, T)
+    dt = r.dtype
+    d = r.shape[-1]
+    pad_cols = aw_ref.shape[-1]
+
+    aw = aw_ref[...]                    # (d, pad) dt
+    bw_f32 = bw_ref[0].astype(jnp.float32)   # (d,)
+
+    # fp32 views of g_mixed are re-cast per use — materialising all s+1
+    # upfront costs 2.5 MB of VMEM at (256, 512) blocks
+    gm_f32 = lambda t: gm[t].astype(jnp.float32)
+
+    g_ascale = jnp.zeros((), jnp.float32)
+    g_bscale = jnp.zeros((), jnp.float32)
+    gsa_rows = []            # (pad,) per stream
+    gsb_vals = []            # scalar per stream
+    gaw_acc = jnp.zeros(gaw_ref.shape, jnp.float32)
+    gbw_acc = jnp.zeros((d,), jnp.float32)
+
+    for si in range(s):
+        r_s = r[si]                                     # (T, d) dt
+        r_f32 = r_s.astype(jnp.float32)
+        gb_s = gb[si].astype(jnp.float32)               # (T,)
+
+        # -- recompute forward intermediates (same casts as the fwd kernel) --
+        sq = jnp.sum(r_f32 * r_f32, axis=-1)
+        var = sq / d
+        inv = jax.lax.rsqrt(jnp.clip(var, min=1e-12))
+        inv_dt = inv.astype(dt)
+        n_s = r_s * inv_dt[:, None]                     # (T, d) dt
+        n_f32 = n_s.astype(jnp.float32)
+
+        pa = jax.lax.dot_general(
+            n_s, aw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (T, pad)
+        ta = jnp.tanh(pa)
+        alpha = (ta * a_scale + sa_ref[si][None, :]).astype(dt)   # (T, pad)
+
+        pb = jnp.sum(n_f32 * bw_f32[None, :], axis=-1)  # (T,)
+        tb = jnp.tanh(pb)
+
+        # -- mix adjoints --
+        # g_alpha[m, t] = gm[t, m] . r_s[m];  columns beyond s+1 stay zero
+        ga_cols = [jnp.sum(gm_f32(t) * r_f32, axis=-1) for t in range(s + 1)]
+        ga = jnp.stack(
+            ga_cols + [jnp.zeros_like(ga_cols[0])] * (pad_cols - (s + 1)),
+            axis=-1)                                    # (T, pad) f32
+
+        # g_r from the mix: sum_t alpha[:, t] * gm[t]
+        g_r = alpha[:, 0].astype(jnp.float32)[:, None] * gm_f32(0)
+        for t in range(1, s + 1):
+            g_r += alpha[:, t].astype(jnp.float32)[:, None] * gm_f32(t)
+
+        # -- alpha head --
+        g_pa = ga * a_scale * (1.0 - ta * ta)           # (T, pad) f32
+        g_ascale += jnp.sum(ga * ta)
+        gsa_rows.append(jnp.sum(ga, axis=0))
+
+        g_n = jax.lax.dot_general(
+            g_pa.astype(dt), aw, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (T, d) f32
+
+        # -- beta head --
+        g_pb = gb_s * b_scale * (1.0 - tb * tb)         # (T,)
+        g_bscale += jnp.sum(gb_s * tb)
+        gsb_vals.append(jnp.sum(gb_s))
+        g_n += bw_f32[None, :] * g_pb[:, None]
+
+        # -- parameter grads --
+        gaw_acc += jax.lax.dot_general(
+            n_s, g_pa.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (d, pad)
+        gbw_acc += jnp.sum(n_f32 * g_pb[:, None], axis=0)
+
+        # -- rms-norm backward --
+        g_inv = jnp.sum(g_n * r_f32, axis=-1)           # (T,)
+        g_r += g_n * inv[:, None]
+        g_sq = jnp.where(var > 1e-12,
+                         g_inv * (-0.5) * inv * inv * inv / d, 0.0)
+        g_r += 2.0 * r_f32 * g_sq[:, None]
+
+        gr_ref[si] = g_r.astype(dt)
+
+    # whole-block accumulations (row/scalar VMEM writes are not tile-friendly)
+    gsa_ref[...] += jnp.stack(gsa_rows)                  # (s, pad)
+    gsb_ref[...] += jnp.stack(gsb_vals)[None, :]         # (1, s)
+    gaw_ref[...] += gaw_acc
+    gbw_ref[...] += gbw_acc[None, :]
+    gscales_ref[...] += jnp.stack([g_ascale, g_bscale])[None, :]
+
+
+def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
+                      dyn_alpha_scale, dyn_beta_w, dyn_beta_scale,
+                      g_mixed, g_beta, block_m: int = 128):
+    # block_m 128 (not the fwd's 256): the adjoint holds several fp32
+    # row-tile temporaries and double-buffers 2s+1 stream blocks — 256-row
+    # tiles exceed the 16 MB scoped-VMEM limit at d=512
+    s, m, d = residuals.shape
+    dt = residuals.dtype
+
+    m_pad = round_up_to_multiple(m, block_m)
+    if m_pad != m:
+        residuals = jnp.pad(residuals, ((0, 0), (0, m_pad - m), (0, 0)))
+        g_mixed = jnp.pad(g_mixed, ((0, 0), (0, m_pad - m), (0, 0)))
+        g_beta = jnp.pad(g_beta, ((0, 0), (0, m_pad - m)))
+        # padded rows have r = 0 and g = 0 => contribute nothing anywhere
+
+    pad_cols = _LANE_PAD * ((s + 1 + _LANE_PAD - 1) // _LANE_PAD)
+    sa = jnp.pad(static_alpha.astype(jnp.float32),
+                 ((0, 0), (0, pad_cols - (s + 1))))
+    aw = jnp.pad(dyn_alpha_w.astype(dt), ((0, 0), (0, pad_cols - (s + 1))))
+    bw = dyn_beta_w.astype(dt)[None, :]
+    sb = static_beta.astype(jnp.float32)[None, :]
+    scales = jnp.stack([dyn_alpha_scale, dyn_beta_scale]).astype(jnp.float32)[None, :]
+
+    grid = (m_pad // block_m,)
+    const = lambda i: (0, 0)
+
+    g_r, g_sa, g_sb, g_aw, g_bw, g_scales = pl.pallas_call(
+        functools.partial(_width_bwd_kernel, num_streams=s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # r
+            pl.BlockSpec((s + 1, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # g_mixed
+            pl.BlockSpec((s, block_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),          # g_beta
+            pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # g_r
+            pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, m_pad, d), dt),
+            jax.ShapeDtypeStruct((s, pad_cols), jnp.float32),
+            jax.ShapeDtypeStruct((1, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, pad_cols), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),   # sequential: accumulators
+        interpret=_INTERPRET,
+    )(residuals, g_mixed, g_beta, sa, sb, aw, bw, scales)
+
+    p32 = static_alpha.dtype
+    return (g_r[:, :m],
+            g_sa[:, :s + 1].astype(p32),
+            g_sb[0].astype(static_beta.dtype),
+            g_aw[:, :s + 1].astype(dyn_alpha_w.dtype),
+            g_scales[0, 0].astype(dyn_alpha_scale.dtype),
+            g_bw[0].astype(dyn_beta_w.dtype),
+            g_scales[0, 1].astype(dyn_beta_scale.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def width_connection(residuals, static_alpha, static_beta, dyn_alpha_w,
                      dyn_alpha_scale, dyn_beta_w, dyn_beta_scale):
@@ -158,6 +351,9 @@ def _width_fwd(*args):
 
 
 def _width_bwd(args, g):
+    g_mixed, g_beta = g
+    if jax.default_backend() == 'tpu' or _INTERPRET:
+        return _width_bwd_pallas(*args, g_mixed, g_beta)
     _, vjp = jax.vjp(_width_reference, *args)
     return vjp(g)
 

@@ -122,7 +122,7 @@ def bench_components():
             return (mixed.astype(jnp.float32) ** 2).sum() + (beta.astype(jnp.float32) ** 2).sum()
         g = jax.grad(f, argnums=tuple(range(7)))(*a)
         return g
-    print(f'HC width fwd+bwd (vjp-replay):           {timeit(jax.jit(wgrad), *args):8.3f} ms')
+    print(f'HC width fwd+bwd (custom vjp):           {timeit(jax.jit(wgrad), *args):8.3f} ms')
 
     # -- depth connection (carried + branch*beta) --
     carried = jax.random.normal(jax.random.key(1), (s, M, DIM), dtype=dt)

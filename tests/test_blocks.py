@@ -129,6 +129,32 @@ def test_feedforward():
     assert ff.proj_out.kernel.value.shape[0] == 64  # int(16*4*2/3)=42 -> 64
 
 
+def test_feedforward_hash_dropout():
+    """Counter-hash dropout (ops/dropout.py): right keep statistics, fresh
+    masks per call, off in eval mode, zero entries exactly zeroed."""
+    from e2_tts_tpu.ops.dropout import hash_dropout
+
+    x = jnp.ones((64, 512))
+    key = jax.random.key(0)
+    out = hash_dropout(x, 0.25, key)
+    kept = np.asarray(out) != 0
+    assert abs(kept.mean() - 0.75) < 0.02
+    np.testing.assert_allclose(np.asarray(out)[kept], 1.0 / 0.75, rtol=1e-6)
+    # deterministic given the key, different across keys
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(hash_dropout(x, 0.25, key)))
+    assert not np.array_equal(np.asarray(out),
+                              np.asarray(hash_dropout(x, 0.25, jax.random.key(1))))
+
+    ff = FeedForward(16, mult=4, dropout=0.5, rngs=rngs())
+    xin = jnp.ones((2, 5, 16))
+    a, b = ff(xin), ff(xin)
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # fresh stream draws
+    ff.eval()
+    a, b = ff(xin), ff(xin)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_softclamp():
     x = jnp.array([0.0, 100.0, -1000.0])
     out = softclamp(x, 50.0)

@@ -65,6 +65,30 @@ def test_flash_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
 
 
+def test_flash_gradients_ragged_multitile():
+    """n=600 -> 5 blocks of 128 with an 88-row ragged tail: exercises the
+    lax.cond tail cleaning in all three kernels (fwd kv-tail, dq kv-tail,
+    dkv q-tail). Interpret mode fills out-of-bounds block rows with NaN
+    (measured), so any missed sanitisation poisons these grads."""
+    q, k, v = make_qkv(b=1, h=2, n=600, dh=32, seed=7)
+    mask = jnp.ones((1, 600), dtype=bool).at[0, 570:].set(False)
+
+    def loss_flash(q, k, v):
+        return (fa.flash_attention(q, k, v, mask, softclamp_value=50.0) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        out = _xla_attention(q, k, v, mask, scale=q.shape[-1] ** -0.5,
+                             softclamp_value=50.0, dropout_rate=0.0,
+                             dropout_rng=None)
+        return (out ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert bool(jnp.isfinite(a).all())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)
+
+
 def test_attention_op_backend_dispatch():
     """'pallas' backend via the public op matches 'xla', incl. LASER compose."""
     q, k, v = make_qkv(n=48)

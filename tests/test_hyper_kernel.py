@@ -68,6 +68,32 @@ def test_width_kernel_gradients_match_reference():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize('dtype,rtol', [(jnp.float32, 1e-4), (jnp.bfloat16, 6e-2)])
+def test_width_kernel_bwd_multitile(dtype, rtol):
+    """Hand-derived backward kernel vs autodiff-through-reference across
+    multiple row tiles (m=600 -> 3 blocks of 256 with padded rows): checks
+    the fp32 accumulator blocks survive the sequential grid and padded rows
+    contribute nothing."""
+    args = make_inputs(s=4, m=600, d=64, dtype=dtype, seed=3)
+
+    def loss_k(*a):
+        mixed, beta = hck.width_connection(*a)
+        return (mixed.astype(jnp.float32) ** 2).mean() + \
+            (beta.astype(jnp.float32) ** 2).mean()
+
+    def loss_r(*a):
+        mixed, beta = hck._width_reference(*a)
+        return (mixed.astype(jnp.float32) ** 2).mean() + \
+            (beta.astype(jnp.float32) ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(*args)
+    for a, b in zip(gk, gr):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b32).max(), 1e-6)
+        np.testing.assert_allclose(a32, b32, atol=rtol * scale, rtol=rtol)
+
+
 def test_transformer_uses_kernel_in_interpret_mode():
     """End-to-end through the backbone with the kernel path active."""
     from flax import nnx
