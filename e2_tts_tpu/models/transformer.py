@@ -28,7 +28,8 @@ from e2_tts_tpu.models.blocks import (
     Attention,
 )
 from e2_tts_tpu.models.hyper_connections import (
-    get_init_and_expand_reduce_stream_functions, expand_stream, reduce_stream,
+    HyperConnection, get_init_and_expand_reduce_stream_functions,
+    expand_stream, reduce_stream,
 )
 from e2_tts_tpu.ops.rotary import RotaryEmbedding
 from e2_tts_tpu.utils.helpers import exists, default, divisible_by, xnor
@@ -188,6 +189,65 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
     return layer_fn
 
 
+class TransformerLayer(nnx.Module):
+    """One backbone layer bundled — speech + text modules + their
+    hyper-connections — so homogeneous layer groups can be created stacked
+    (`nnx.vmap`) and driven by `nnx.scan` (``scan_layers`` mode).
+
+    `ind` may be a traced array under vmapped creation: it only feeds the
+    hyper-connection `layer_index` rotation (a jnp `.at[]` init), never a
+    Python branch."""
+
+    def __init__(self, *, ind, dim, dim_text, has_text, is_first_block,
+                 is_later_half, is_last_text_layer, heads, dim_head, ff_mult,
+                 text_heads, text_dim_head, text_ff_mult, kernel_size, dropout,
+                 has_freq_axis, freq_heads, freq_dim_head, cond_on_time,
+                 attn_laser, attn_laser_softclamp_value,
+                 attn_fourier_embed_input, attn_fourier_embed_input_frac,
+                 num_residual_streams, attn_kwargs, ff_kwargs, attn_backend,
+                 dtype, param_dtype, rngs):
+        common = dict(attn_kwargs=dict(attn_kwargs), ff_kwargs=dict(ff_kwargs),
+                      attn_backend=attn_backend, dtype=dtype,
+                      param_dtype=param_dtype)
+        self.speech = SpeechLayer(
+            dim=dim, heads=heads, dim_head=dim_head, ff_mult=ff_mult,
+            kernel_size=kernel_size, dropout=dropout,
+            is_first_block=is_first_block, is_later_half=is_later_half,
+            has_freq_axis=has_freq_axis, freq_heads=freq_heads,
+            freq_dim_head=freq_dim_head, cond_on_time=cond_on_time,
+            attn_laser=attn_laser,
+            attn_laser_softclamp_value=attn_laser_softclamp_value,
+            attn_fourier_embed_input=attn_fourier_embed_input,
+            attn_fourier_embed_input_frac=attn_fourier_embed_input_frac,
+            rngs=rngs, **common)
+
+        # hyper-connection branch indices continue the unrolled counter order:
+        # per layer [speech conv, attn, ff, (freq)], then [text conv, attn, ff]
+        n_speech = 3 + int(has_freq_axis)
+        per_layer = n_speech + (3 if has_text else 0)
+        base = ind * per_layer
+        mk_hc = lambda d, off: HyperConnection(
+            d, num_residual_streams, base + off, param_dtype=param_dtype,
+            rngs=rngs)
+        self.speech_hcs = nnx.List([mk_hc(dim, o) for o in range(n_speech)])
+
+        if has_text:
+            self.text = TextLayer(
+                dim=dim, dim_text=dim_text, heads=text_heads,
+                dim_head=text_dim_head, ff_mult=text_ff_mult,
+                kernel_size=kernel_size, dropout=dropout,
+                is_first_block=is_first_block,
+                is_last_text_layer=is_last_text_layer,
+                attn_laser=attn_laser,
+                attn_laser_softclamp_value=attn_laser_softclamp_value,
+                rngs=rngs, **common)
+            self.text_hcs = nnx.List(
+                [mk_hc(dim_text, n_speech + o) for o in range(3)])
+        else:
+            self.text = None
+            self.text_hcs = None
+
+
 class Transformer(nnx.Module):
 
     def __init__(
@@ -224,6 +284,7 @@ class Transformer(nnx.Module):
         ff_kwargs: dict = dict(),
         attn_backend: str = 'auto',
         remat: bool = False,
+        scan_layers: bool = False,
         dtype=None,
         param_dtype=jnp.float32,
         rngs: nnx.Rngs | None = None,
@@ -284,6 +345,57 @@ class Transformer(nnx.Module):
         common = dict(attn_kwargs=dict(attn_kwargs), ff_kwargs=dict(ff_kwargs),
                       attn_backend=attn_backend, dtype=dtype,
                       param_dtype=param_dtype)
+
+        # scan_layers: compile-time mode. The two heterogeneous layers (first:
+        # no value-residual mix; last: no audio->text cross-condition) stay
+        # unrolled; the two homogeneous middle groups are created stacked with
+        # nnx.vmap and driven by nnx.scan in __call__ — the layer body is
+        # traced/compiled once per group instead of once per layer.
+        self.scan_layers = scan_layers
+        if scan_layers:
+            assert depth >= 4, 'scan_layers needs depth >= 4'
+            assert text_depth == depth, \
+                'scan_layers requires text_depth == depth (homogeneous groups)'
+            layer_cfg = dict(
+                dim=dim, dim_text=dim_text, heads=heads, dim_head=dim_head,
+                ff_mult=ff_mult, text_heads=text_heads,
+                text_dim_head=text_dim_head, text_ff_mult=text_ff_mult,
+                kernel_size=kernel_size, dropout=dropout,
+                has_freq_axis=has_freq_axis, freq_heads=freq_heads,
+                freq_dim_head=freq_dim_head, cond_on_time=cond_on_time,
+                attn_laser=attn_laser,
+                attn_laser_softclamp_value=attn_laser_softclamp_value,
+                attn_fourier_embed_input=attn_fourier_embed_input,
+                attn_fourier_embed_input_frac=attn_fourier_embed_input_frac,
+                num_residual_streams=num_residual_streams, **common)
+
+            self.layer_first = TransformerLayer(
+                ind=0, has_text=True, is_first_block=True,
+                is_later_half=False, is_last_text_layer=False,
+                rngs=rngs, **layer_cfg)
+
+            n_mid = depth // 2 - 1
+
+            def make_group(inds, later_half):
+                @nnx.split_rngs(splits=n_mid)
+                @nnx.vmap(in_axes=(0, 0), out_axes=0)
+                def make(rngs_i, ind):
+                    return TransformerLayer(
+                        ind=ind, has_text=True, is_first_block=False,
+                        is_later_half=later_half, is_last_text_layer=False,
+                        rngs=rngs_i, **layer_cfg)
+                return make(rngs, jnp.arange(inds[0], inds[1]))
+
+            self.mid_first = make_group((1, depth // 2), False)
+            self.mid_second = make_group((depth // 2, depth - 1), True)
+
+            self.layer_last = TransformerLayer(
+                ind=depth - 1, has_text=True, is_first_block=False,
+                is_later_half=True, is_last_text_layer=True,
+                rngs=rngs, **layer_cfg)
+
+            self.final_norm = RMSNorm(dim, param_dtype=param_dtype)
+            return
 
         self.speech_layers = nnx.List([])
         self.text_layers = nnx.List([])
@@ -421,6 +533,16 @@ class Transformer(nnx.Module):
         text_rot = text_rotary
         freq_rot = freq_rotary
 
+        if self.scan_layers:
+            x, text_embed = self._run_scan(
+                x, text_embed, mask, rotary, text_rot, freq_rot, cond,
+                freq_cond, text_gate, orig_batch, freq_seq_len)
+            x = x[:, :, r:, :]
+            x = reduce_stream(x)
+            if self.has_freq_axis:
+                x = x.reshape(orig_batch, freq_seq_len, *x.shape[1:])
+            return self.final_norm(x)
+
         for ind in range(self.depth):
             layer = ind + 1
             is_first_half = layer <= self.depth // 2
@@ -452,3 +574,70 @@ class Transformer(nnx.Module):
             x = x.reshape(orig_batch, freq_seq_len, *x.shape[1:])
 
         return self.final_norm(x)
+
+    def _run_scan(self, x, text_embed, mask, rotary, text_rot, freq_rot,
+                  cond, freq_cond, text_gate, orig_batch, freq_seq_len):
+        """scan_layers forward: first/last layers unrolled (they are the two
+        heterogeneous ones), the homogeneous middle halves under nnx.scan.
+
+        UNet skip routing is LIFO: the first layer's skip feeds the last
+        layer directly; the first middle group's stacked skips feed the
+        second middle group in reverse."""
+        mk = lambda push: _make_layer_fn(orig_batch, freq_seq_len,
+                                         push_skip=push,
+                                         has_freq_axis=self.has_freq_axis)
+        layer_fn_push = mk(True)
+        layer_fn_pop = mk(False)
+        if self.remat:
+            layer_fn_push = nnx.remat(layer_fn_push)
+            layer_fn_pop = nnx.remat(layer_fn_pop)
+
+        def call(fn, layer, x, te, skip, av, tv, fv):
+            return fn(layer.speech, layer.text, layer.text_hcs,
+                      layer.speech_hcs, x, te, skip, mask, rotary, text_rot,
+                      freq_rot, cond, freq_cond, av, tv, fv, text_gate)
+
+        x, te, skip0, av, tv, fv = call(
+            layer_fn_push, self.layer_first, x, text_embed, None,
+            None, None, None)
+
+        # vmap-created groups keep ONE rng key per stream (flax convention):
+        # when dropout is live, split per layer at call time so draws differ
+        # across layers; in eval no rng is drawn, so broadcast the RngState
+        # (splitting would mutate rng counts, which breaks under plain
+        # jax.grad closures and is pointless work)
+        n_mid = self.depth // 2 - 1
+        attn0 = self.layer_first.speech.attn
+        training = attn0.dropout_rate > 0.0 and not attn0.deterministic
+        if training:
+            maybe_split = nnx.split_rngs(splits=n_mid)
+            layer_axes = 0
+        else:
+            maybe_split = lambda f: f
+            layer_axes = nnx.StateAxes({nnx.RngState: None, ...: 0})
+
+        @maybe_split
+        @nnx.scan(in_axes=(nnx.Carry, layer_axes), out_axes=(nnx.Carry, 0))
+        def run_first(carry, layers):
+            x, te, av, tv, fv = carry
+            x, te, skip, av, tv, fv = call(layer_fn_push, layers, x, te,
+                                           None, av, tv, fv)
+            return (x, te, av, tv, fv), skip
+
+        (x, te, av, tv, fv), mid_skips = run_first((x, te, av, tv, fv),
+                                                   self.mid_first)
+
+        @maybe_split
+        @nnx.scan(in_axes=(nnx.Carry, layer_axes, 0), out_axes=nnx.Carry)
+        def run_second(carry, layers, skip):
+            x, te, av, tv, fv = carry
+            x, te, _, av, tv, fv = call(layer_fn_pop, layers, x, te, skip,
+                                        av, tv, fv)
+            return (x, te, av, tv, fv)
+
+        x, te, av, tv, fv = run_second((x, te, av, tv, fv), self.mid_second,
+                                       jnp.flip(mid_skips, 0))
+
+        x, te, _, av, tv, fv = call(layer_fn_pop, self.layer_last, x, te,
+                                    skip0, av, tv, fv)
+        return x, te
