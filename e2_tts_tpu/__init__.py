@@ -17,6 +17,7 @@ _EXPORTS = {
     'DurationPredictor': 'e2_tts_tpu.models.duration',
     'E2TTS': 'e2_tts_tpu.models.e2tts',
     'E2Trainer': 'e2_tts_tpu.training.trainer',
+    'Vocos': 'e2_tts_tpu.vocoder.vocos',
 }
 
 __all__ = list(_EXPORTS)

@@ -84,6 +84,15 @@ def masked_mse(pred, target, span_mask):
     return err.sum() / denom
 
 
+class _StaticBox:
+    """Opaque holder: keeps an object (e.g. the frozen JAX vocoder) out of
+    the surrounding module's nnx graph — not traversed, trained, EMA'd or
+    checkpointed with the model."""
+
+    def __init__(self, value):
+        self.value = value
+
+
 class E2TTS(nnx.Module):
 
     def __init__(
@@ -105,6 +114,12 @@ class E2TTS(nnx.Module):
         use_vocos: bool = False,   # reference defaults True; needs the torch
                                    # `vocos` package — loaded lazily if set
         pretrained_vocos_path: str = 'charactr/vocos-mel-24khz',
+        vocos_backend: str = 'torch',   # 'torch' (reference parity, host
+                                   # loop) | 'jax' (e2_tts_tpu.vocoder.Vocos:
+                                   # batched mel->wave on device; pass
+                                   # vocos_weights to load the published
+                                   # torch checkpoint's state dict)
+        vocos_weights=None,        # None | dict | path to pytorch_model.bin
         sampling_rate: int | None = None,
         velocity_consistency_weight: float = 0.0,
         dtype=None,
@@ -171,7 +186,22 @@ class E2TTS(nnx.Module):
 
         self.use_vocos = use_vocos
         self.pretrained_vocos_path = pretrained_vocos_path
+        assert vocos_backend in ('torch', 'jax')
+        self.vocos_backend = vocos_backend
         self._vocos = None
+        if use_vocos and vocos_backend == 'jax':
+            from e2_tts_tpu.vocoder import Vocos as JaxVocos
+            jv = JaxVocos(input_channels=num_channels,
+                          param_dtype=param_dtype, rngs=nnx.Rngs(0))
+            if exists(vocos_weights):
+                if isinstance(vocos_weights, (str, bytes)):
+                    import torch
+                    vocos_weights = torch.load(vocos_weights,
+                                               map_location='cpu')
+                jv.load_torch_state_dict(vocos_weights)
+            # boxed so the (frozen) vocoder stays out of this module's nnx
+            # graph: the trainer/EMA/checkpoint track E2TTS params only
+            self._vocos = _StaticBox(jv)
 
         self.rngs = rngs
         self.deterministic = False
@@ -182,6 +212,8 @@ class E2TTS(nnx.Module):
     def vocos(self):
         if not self.use_vocos:
             return None
+        if isinstance(self._vocos, _StaticBox):    # jax backend, pre-built
+            return self._vocos.value
         if self._vocos is None:
             from vocos import Vocos  # torch package; host-side decode only
             self._vocos = Vocos.from_pretrained(self.pretrained_vocos_path)
@@ -434,8 +466,19 @@ class E2TTS(nnx.Module):
         return out
 
     def _vocos_decode(self, mels, mask):
-        """Per-sample host-side Vocos decode (e2_tts.py:1440-1451), including
-        the reference's DB_to_amplitude quirk (treats ln-mel as dB)."""
+        """Vocos decode (e2_tts.py:1440-1451), including the reference's
+        DB_to_amplitude quirk (treats ln-mel as dB). The 'jax' backend runs
+        the whole batch on device in one jit; the 'torch' backend loops per
+        sample on host like the reference."""
+        if self.vocos_backend == 'jax':
+            from e2_tts_tpu.vocoder.vocos import _jit_decode
+            amp = db_to_amplitude(mels, 1.0, 0.5)
+            wav = _jit_decode(self.vocos, amp)     # (b, (n-1)*hop) on device
+            hop = self.vocos.head.hop_length
+            lens = np.asarray(jnp.sum(mask, axis=-1))
+            return [wav[i, : max(int(l) - 1, 0) * hop]
+                    for i, l in enumerate(lens)]
+
         import torch
         audio = []
         mels_np = np.asarray(mels)

@@ -299,6 +299,7 @@ class Transformer(nnx.Module):
         self.has_freq_axis = has_freq_axis
         self.remat = remat
         self.num_registers = num_registers
+        self.dtype = dtype
 
         dim_text = default(dim_text, dim // 2)
         self.dim_text = dim_text
@@ -455,6 +456,15 @@ class Transformer(nnx.Module):
         assert xnor(x.ndim == 4, self.has_freq_axis), \
             '`has_freq_axis` must be set iff passing a 4-dim (b f n d) tensor'
 
+        # keep the whole stack in the compute dtype: a wider input would
+        # otherwise run the first half in fp32 (1/4 MXU rate) until the
+        # bf16 skip_proj flips it mid-network — and break the scan-mode
+        # carry dtype invariant
+        if exists(self.dtype):
+            x = x.astype(self.dtype)
+            if exists(text_embed):
+                text_embed = text_embed.astype(self.dtype)
+
         freq_seq_len = 1
         if self.has_freq_axis:
             freq_seq_len = x.shape[1]
@@ -588,7 +598,14 @@ class Transformer(nnx.Module):
                                          has_freq_axis=self.has_freq_axis)
         layer_fn_push = mk(True)
         layer_fn_pop = mk(False)
-        if self.remat:
+        # the scanned groups ALWAYS remat their body: lax.scan's backward
+        # saves every iteration's intermediates with no cross-layer
+        # rematerialisation, which at the flagship config needs ~19 GB of
+        # temp HBM (measured via compiled.memory_analysis()) vs the 16 GB
+        # chip. Body remat keeps only the carry per step.
+        scan_fn_push = nnx.remat(layer_fn_push)
+        scan_fn_pop = nnx.remat(layer_fn_pop)
+        if self.remat:   # first/last unrolled layers follow the user flag
             layer_fn_push = nnx.remat(layer_fn_push)
             layer_fn_pop = nnx.remat(layer_fn_pop)
 
@@ -620,7 +637,7 @@ class Transformer(nnx.Module):
         @nnx.scan(in_axes=(nnx.Carry, layer_axes), out_axes=(nnx.Carry, 0))
         def run_first(carry, layers):
             x, te, av, tv, fv = carry
-            x, te, skip, av, tv, fv = call(layer_fn_push, layers, x, te,
+            x, te, skip, av, tv, fv = call(scan_fn_push, layers, x, te,
                                            None, av, tv, fv)
             return (x, te, av, tv, fv), skip
 
@@ -631,7 +648,7 @@ class Transformer(nnx.Module):
         @nnx.scan(in_axes=(nnx.Carry, layer_axes, 0), out_axes=nnx.Carry)
         def run_second(carry, layers, skip):
             x, te, av, tv, fv = carry
-            x, te, _, av, tv, fv = call(layer_fn_pop, layers, x, te, skip,
+            x, te, _, av, tv, fv = call(scan_fn_pop, layers, x, te, skip,
                                         av, tv, fv)
             return (x, te, av, tv, fv)
 

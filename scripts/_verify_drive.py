@@ -51,6 +51,16 @@ with wave.open('/tmp/verify_out/1.v.wav') as f:
 mels = model.sample(mel[:, :32], text=texts, duration=64, steps=4)
 print('sample mel shape:', mels.shape)
 
+# built-in JAX Vocos decode on device (random-init weights)
+vmodel = E2TTS(transformer=dict(CFG), use_vocos=True, vocos_backend='jax',
+               sampling_rate=24000, rngs=nnx.Rngs(0))
+wavs = vmodel.sample(mel[:, :32], text=texts, duration=64, steps=4,
+                     save_to_filename='/tmp/verify_out/jv.wav')
+print('jax-vocos wav:', len(wavs), wavs[0].shape)
+assert all(np.isfinite(np.asarray(w)).all() for w in wavs)
+with wave.open('/tmp/verify_out/1.jv.wav') as f:
+    assert f.getnframes() > 0
+
 # 4. probes
 try:
     E2TTS(transformer=dict(CFG), tokenizer='bogus_tokenizer', rngs=nnx.Rngs(0))

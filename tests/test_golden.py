@@ -25,6 +25,9 @@ def test_mel_golden():
     np.testing.assert_allclose(mx, 5.703155, atol=1e-3)
 
 
+# NB: model-loss pins encode the param-init draw order. Re-pinned when
+# FeedForward stopped constructing nnx.Dropout (its rng fork at init shifted
+# every subsequent param draw); semantics unchanged (eval, dropout=0).
 def test_e2tts_loss_golden():
     from e2_tts_tpu.models.e2tts import E2TTS
     model = E2TTS(
@@ -37,7 +40,7 @@ def test_e2tts_loss_golden():
     mel = jax.random.normal(jax.random.key(11), (2, 24, 100))
     loss = model(mel, text=['golden', 'values'], key=jax.random.key(12),
                  drop_text_cond=False).loss
-    np.testing.assert_allclose(float(loss), 3.004708, atol=2e-3)
+    np.testing.assert_allclose(float(loss), 3.120961, atol=2e-3)
 
 
 def test_duration_loss_golden():
@@ -52,7 +55,7 @@ def test_duration_loss_golden():
     mel = jax.random.normal(jax.random.key(21), (2, 24, 100))
     loss = dp(mel, text=['golden', 'values'], lens=jnp.array([20, 24]),
               key=jax.random.key(22))
-    np.testing.assert_allclose(float(loss), 455.530151, rtol=1e-4)
+    np.testing.assert_allclose(float(loss), 454.513367, rtol=1e-4)
 
 
 def test_rotary_golden():

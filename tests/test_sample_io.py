@@ -129,6 +129,74 @@ def test_use_vocos_real_package(tmp_path):
     assert os.path.exists(str(tmp_path / '1.out.wav'))
 
 
+def test_use_vocos_jax_backend(tmp_path):
+    """vocos_backend='jax': batched on-device decode through sample(),
+    including save_to_filename, with the vocoder kept out of the model's
+    nnx graph (trainer/EMA/checkpoint state untouched)."""
+    model = small_e2tts(sampling_rate=24000, use_vocos=True,
+                        vocos_backend='jax')
+    prompt = jax.random.normal(jax.random.key(0), (2, 8, 100))
+    out = model.sample(prompt, text=['ab', 'cd'], duration=16, steps=2,
+                       key=jax.random.key(1), duration_bucket=16,
+                       save_to_filename=str(tmp_path / 'v.wav'))
+    assert isinstance(out, list) and len(out) == 2
+    hop = model.vocos.head.hop_length
+    assert out[0].shape[-1] == 15 * hop
+    assert all(bool(jnp.isfinite(o).all()) for o in out)
+    assert (tmp_path / '1.v.wav').exists() and (tmp_path / '2.v.wav').exists()
+
+    # frozen vocoder params must not leak into the model state
+    paths = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_flatten_with_path(nnx.state(model, nnx.Param))[0]]
+    assert not any('vocos' in p or 'backbone' in p for p in paths)
+
+
+def test_use_vocos_jax_weight_loading():
+    """A torch-layout state dict round-trips through the constructor arg."""
+    from e2_tts_tpu.vocoder import Vocos as JaxVocos
+    donor = JaxVocos(input_channels=100, rngs=nnx.Rngs(3))
+    import numpy as _np
+    sd = {}
+    sd['backbone.embed.weight'] = _np.transpose(
+        _np.asarray(donor.backbone.embed.kernel[...]), (2, 1, 0))
+    sd['backbone.embed.bias'] = _np.asarray(donor.backbone.embed.bias[...])
+    model = small_e2tts(use_vocos=True, vocos_backend='jax')
+    model.vocos.load_torch_state_dict(
+        {**{k: _np.asarray(v) for k, v in sd.items()}} | _full_sd(donor))
+    np.testing.assert_allclose(
+        np.asarray(model.vocos.backbone.embed.kernel[...]),
+        np.asarray(donor.backbone.embed.kernel[...]))
+
+
+def _full_sd(donor):
+    """Torch-layout state dict covering every key, synthesised from a donor
+    JAX model (tests the converter's completeness)."""
+    import numpy as _np
+    t = lambda a, perm: _np.transpose(_np.asarray(a), perm)
+    sd = {
+        'backbone.embed.weight': t(donor.backbone.embed.kernel[...], (2, 1, 0)),
+        'backbone.embed.bias': _np.asarray(donor.backbone.embed.bias[...]),
+        'backbone.norm.weight': _np.asarray(donor.backbone.norm.scale[...]),
+        'backbone.norm.bias': _np.asarray(donor.backbone.norm.bias[...]),
+        'backbone.final_layer_norm.weight': _np.asarray(donor.backbone.final_norm.scale[...]),
+        'backbone.final_layer_norm.bias': _np.asarray(donor.backbone.final_norm.bias[...]),
+        'head.out.weight': t(donor.head.out.kernel[...], (1, 0)),
+        'head.out.bias': _np.asarray(donor.head.out.bias[...]),
+    }
+    for i, blk in enumerate(donor.backbone.blocks):
+        p = f'backbone.convnext.{i}.'
+        sd[p + 'dwconv.weight'] = t(blk.dwconv.kernel[...], (2, 1, 0))
+        sd[p + 'dwconv.bias'] = _np.asarray(blk.dwconv.bias[...])
+        sd[p + 'norm.weight'] = _np.asarray(blk.norm.scale[...])
+        sd[p + 'norm.bias'] = _np.asarray(blk.norm.bias[...])
+        sd[p + 'pwconv1.weight'] = t(blk.pwconv1.kernel[...], (1, 0))
+        sd[p + 'pwconv1.bias'] = _np.asarray(blk.pwconv1.bias[...])
+        sd[p + 'pwconv2.weight'] = t(blk.pwconv2.kernel[...], (1, 0))
+        sd[p + 'pwconv2.bias'] = _np.asarray(blk.pwconv2.bias[...])
+        sd[p + 'gamma'] = _np.asarray(blk.gamma[...])
+    return sd
+
+
 def test_sample_prompt_longer_than_generation():
     """Prompt with more frames than the bucketed generation length must be
     truncated, not crash with a negative pad (the reference's F.pad truncates,

@@ -1,0 +1,124 @@
+"""JAX Vocos vocoder vs torch oracles (torch-cpu is available; the `vocos`
+package is not — the oracle mirrors its public architecture inline,
+matching vocos.modules.ConvNeXtBlock / heads.ISTFTHead)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+torch = pytest.importorskip('torch')
+
+from e2_tts_tpu.vocoder import Vocos, ISTFTHead, istft  # noqa: E402
+
+
+def test_istft_matches_torch():
+    rng = np.random.default_rng(0)
+    n_fft, hop, nf = 256, 64, 17
+    mag = np.exp(rng.normal(size=(2, nf, n_fft // 2 + 1)).astype(np.float32))
+    ph = rng.uniform(-np.pi, np.pi, size=mag.shape).astype(np.float32)
+    re, im = mag * np.cos(ph), mag * np.sin(ph)
+    window = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+
+    ours = istft(jnp.asarray(re), jnp.asarray(im), jnp.asarray(window),
+                 n_fft, hop, center=True)
+
+    spec = torch.complex(torch.from_numpy(re), torch.from_numpy(im))
+    ref = torch.istft(spec.transpose(1, 2), n_fft=n_fft, hop_length=hop,
+                      win_length=n_fft, window=torch.from_numpy(window),
+                      center=True)
+    assert ours.shape == tuple(ref.shape)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               atol=2e-4, rtol=1e-4)
+
+
+class _TorchConvNeXt(torch.nn.Module):
+    """Inline mirror of vocos.modules.ConvNeXtBlock."""
+
+    def __init__(self, dim, inner, scale_init):
+        super().__init__()
+        self.dwconv = torch.nn.Conv1d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = torch.nn.Linear(dim, inner)
+        self.pwconv2 = torch.nn.Linear(inner, dim)
+        self.gamma = torch.nn.Parameter(scale_init * torch.ones(dim))
+
+    def forward(self, x):   # (b, d, n)
+        res = x
+        x = self.dwconv(x).transpose(1, 2)
+        x = self.norm(x)
+        x = self.pwconv2(torch.nn.functional.gelu(self.pwconv1(x)))
+        return res + (self.gamma * x).transpose(1, 2)
+
+
+class _TorchVocos(torch.nn.Module):
+    """Inline mirror of vocos.Vocos (mel-24khz geometry) minus the feature
+    extractor, with the reference's state-dict key names."""
+
+    def __init__(self, in_ch, dim, inner, layers, n_fft, hop):
+        super().__init__()
+        class BB(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.embed = torch.nn.Conv1d(in_ch, dim, 7, padding=3)
+                self.norm = torch.nn.LayerNorm(dim, eps=1e-6)
+                self.convnext = torch.nn.ModuleList(
+                    [_TorchConvNeXt(dim, inner, 1.0 / layers)
+                     for _ in range(layers)])
+                self.final_layer_norm = torch.nn.LayerNorm(dim, eps=1e-6)
+        class Head(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.out = torch.nn.Linear(dim, n_fft + 2)
+        self.backbone = BB()
+        self.head = Head()
+        self.n_fft, self.hop = n_fft, hop
+
+    def forward(self, mel):   # (b, in_ch, n)
+        x = self.backbone.embed(mel).transpose(1, 2)
+        x = self.backbone.norm(x).transpose(1, 2)
+        for blk in self.backbone.convnext:
+            x = blk(x)
+        x = self.backbone.final_layer_norm(x.transpose(1, 2))
+        x = self.head.out(x)
+        half = self.n_fft // 2 + 1
+        mag = torch.exp(x[..., :half].clamp(max=1e2))
+        p = x[..., half:]
+        spec = torch.complex(mag * torch.cos(p), mag * torch.sin(p))
+        win = torch.hann_window(self.n_fft)
+        return torch.istft(spec.transpose(1, 2), n_fft=self.n_fft,
+                           hop_length=self.hop, win_length=self.n_fft,
+                           window=win, center=True)
+
+
+def test_vocos_matches_torch_mirror():
+    """Random torch weights loaded through load_torch_state_dict: full
+    mel->waveform parity against the inline torch mirror."""
+    torch.manual_seed(0)
+    in_ch, dim, inner, layers, n_fft, hop = 10, 32, 96, 2, 64, 16
+    tm = _TorchVocos(in_ch, dim, inner, layers, n_fft, hop).eval()
+
+    jm = Vocos(input_channels=in_ch, dim=dim, intermediate_dim=inner,
+               num_layers=layers, n_fft=n_fft, hop_length=hop,
+               rngs=nnx.Rngs(0))
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    jm.load_torch_state_dict(sd)
+
+    rng = np.random.default_rng(1)
+    mel = rng.normal(size=(2, 12, in_ch)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(mel.transpose(0, 2, 1)))
+    ours = jm.decode(jnp.asarray(mel))
+    assert ours.shape == tuple(ref.shape)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_vocos_decode_shape_and_jit():
+    m = Vocos(input_channels=20, dim=32, intermediate_dim=64, num_layers=2,
+              n_fft=64, hop_length=16, rngs=nnx.Rngs(0))
+    mel = jnp.zeros((3, 25, 20))
+    out = nnx.jit(lambda m, x: m.decode(x))(m, mel)
+    assert out.shape == (3, 24 * 16)
+    assert bool(jnp.isfinite(out).all())
