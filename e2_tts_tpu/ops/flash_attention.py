@@ -125,36 +125,42 @@ def _clean_kv_tail(k, v, bias_row, kb, num_kb, seq_len):
                         (k, v, bias_row))
 
 
-def _clean_q_tail(q, do, lse_row, delta_row, qb, num_qb, seq_len):
+def _clean_q_tail(q, do, lse_col, delta_col, qb, num_qb, seq_len):
     """On the tail q tile (dkv kernel): zero q/do garbage rows (both ride the
-    over-rows contraction into dk/dv) and fold the row masking into the 1-D
-    lse (+LARGE => p = 0) and delta (0) vectors."""
+    over-rows contraction into dk/dv) and fold the row masking into the
+    (bq, 1) lse (+LARGE => p = 0) and delta (0) columns."""
     bq = q.shape[0]
     if seq_len % bq == 0:
-        return q, do, lse_row, delta_row
+        return q, do, lse_col, delta_col
 
     def _clean(ops):
-        q, do, lse_row, delta_row = ops
+        q, do, lse_col, delta_col = ops
         base = qb * bq
         q = _zero_rows_from(q, base, seq_len)
         do = _zero_rows_from(do, base, seq_len)
-        row = base + jax.lax.broadcasted_iota(jnp.int32, lse_row.shape, 1)
-        lse_row = jnp.where(row < seq_len, lse_row, -NEG_INF)
-        delta_row = jnp.where(row < seq_len, delta_row, 0.0)
-        return q, do, lse_row, delta_row
+        row = base + jax.lax.broadcasted_iota(jnp.int32, lse_col.shape, 0)
+        lse_col = jnp.where(row < seq_len, lse_col, -NEG_INF)
+        delta_col = jnp.where(row < seq_len, delta_col, 0.0)
+        return q, do, lse_col, delta_col
 
     return jax.lax.cond(qb == num_qb - 1, _clean, lambda ops: ops,
-                        (q, do, lse_row, delta_row))
+                        (q, do, lse_col, delta_col))
 
 
 # -- forward -------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, scale, softclamp_value, dropout_rate,
-                seq_len):
-    """Grid (bh, nq, nk): kv is the innermost ('arbitrary') grid dim so the
+                seq_len, bh_group):
+    """Grid (bh/G, nq, nk): kv is the innermost ('arbitrary') grid dim so the
     pipeline double-buffers k/v DMAs against compute; running max/denom/acc
     live in VMEM scratch.
+
+    Each grid step processes G = `bh_group` batch-heads (a static in-kernel
+    loop): with dim_head 64 the per-head matmuls are ~70 MXU cycles, so at
+    G=1 the grid's fixed per-step cost dominates (measured ~1 ms of the
+    2.1 ms call at 1152 steps). G heads per step amortise it. G divides the
+    head count, so all G rows of a step share one batch => one bias row.
 
     `seq_len` is the true (unpadded) length: the grid may have a ragged tail
     block whose out-of-range VMEM rows read garbage (measured: can be NaN).
@@ -166,59 +172,64 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, lse_ref,
 
     @pl.when(kb == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]                                       # (bq, dh) compute dtype
-    k = k_ref[0]                                       # (bk, dh)
-    v = v_ref[0]
-    bias_row = bias_ref[0]                             # (1, bk) fp32
+    # bias arrives in sublane layout (bk, 1) — one tiny transpose per grid
+    # step serves all G heads
+    bias_row0 = jnp.transpose(bias_ref[0], (1, 0))     # (1, bk) fp32
 
-    k, v, bias_row = _clean_kv_tail(k, v, bias_row, kb, num_kb, seq_len)
+    for g in range(bh_group):
+        q = q_ref[g]                                   # (bq, dh) compute dtype
+        k = k_ref[g]                                   # (bk, dh)
+        v = v_ref[g]
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale    # (bq, bk) fp32
+        k, v, bias_row = _clean_kv_tail(k, v, bias_row0, kb, num_kb, seq_len)
 
-    if exists(softclamp_value):
-        s = jnp.tanh(s / softclamp_value) * softclamp_value
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (bq, bk) fp32
 
-    s = s + bias_row
+        if exists(softclamp_value):
+            s = jnp.tanh(s / softclamp_value) * softclamp_value
 
-    m_prev = m_scr[:, 0]
-    l_prev = l_scr[:, 0]
+        s = s + bias_row
 
-    m_cur = jnp.max(s, axis=-1)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new[:, None])
-    alpha = jnp.exp(m_prev - m_new)
+        m_prev = m_scr[g][:, 0]
+        l_prev = l_scr[g][:, 0]
 
-    # denominator accumulates UN-dropped probs (dropout acts after softmax)
-    l_new = l_prev * alpha + p.sum(axis=-1)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_prev - m_new)
 
-    if dropout_rate > 0.0:
-        bq, bk = p.shape
-        keep = _keep_tile(
-            seed_ref[0].astype(jnp.uint32),
-            pl.program_id(0).astype(jnp.uint32),
-            (pl.program_id(1) * bq).astype(jnp.uint32),
-            (kb * bk).astype(jnp.uint32),
-            bq, bk, dropout_rate)
-        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        # denominator accumulates UN-dropped probs (dropout acts after softmax)
+        l_new = l_prev * alpha + p.sum(axis=-1)
 
-    acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            bq, bk = p.shape
+            keep = _keep_tile(
+                seed_ref[0].astype(jnp.uint32),
+                (pl.program_id(0) * bh_group + g).astype(jnp.uint32),
+                (pl.program_id(1) * bq).astype(jnp.uint32),
+                (kb * bk).astype(jnp.uint32),
+                bq, bk, dropout_rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
 
-    m_scr[:, 0] = m_new
-    l_scr[:, 0] = l_new
+        acc_scr[g] = acc_scr[g] * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        m_scr[g] = m_new[:, None]
+        l_scr[g] = l_new[:, None]
 
     @pl.when(kb == num_kb - 1)
     def _finalise():
-        l_fin = jnp.clip(l_scr[:, 0], min=1e-30)
-        o_ref[0] = (acc_scr[:] / l_fin[:, None]).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[:, 0] + jnp.log(l_fin)
+        for g in range(bh_group):
+            l_fin = jnp.clip(l_scr[g][:, 0], min=1e-30)
+            o_ref[g] = (acc_scr[g] / l_fin[:, None]).astype(o_ref.dtype)
+            lse_ref[g] = (m_scr[g][:, 0] + jnp.log(l_fin))[:, None]
 
 
 def _pick_block(n: int, target: int = 512) -> int:
@@ -233,48 +244,105 @@ def _pick_block(n: int, target: int = 512) -> int:
     return best
 
 
+# experiment knob: (block_q, block_k) override for device-time sweeps
+_BLOCK_OVERRIDE: tuple | None = None
+
+
+def _blocks(n: int):
+    """(block_q, block_k) for sequence length n.
+
+    Preferred: the largest multiple-of-8 DIVISOR of n in [128, 640] — an
+    exact tiling with no ragged tail, so the kernels run with zero masking
+    work. (Legal because the n-sized axes live in sublane position for the
+    1-D tensors: bias/lse/delta are laid out (..., n, 1).) The E2TTS frame
+    buckets (64k + 32 registers) essentially always have one, e.g.
+    1056 -> 352, 1024 -> 512.
+
+    Fallback: 128-quantum blocks with a ragged tail handled in-kernel under
+    lax.cond — correct, but the cond materialises operand copies on EVERY
+    tile (measured +0.65 ms/call at flagship shape), so exact tilings are
+    strongly preferred."""
+    if _BLOCK_OVERRIDE is not None:
+        return _BLOCK_OVERRIDE
+    best = None
+    for b in range(128, 641, 8):
+        if n % b == 0:
+            best = b
+    if best is not None:
+        return best, best
+    b = _pick_block(n)
+    return b, b
+
+
+def _bh_group(h: int, block_q: int, block_k: int, dh: int,
+              dropping: bool = False) -> int:
+    """Batch-heads per grid step: largest G in {8,4,2,1} dividing h whose
+    VMEM footprint fits the 16 MB scoped limit. The dominant term is the
+    per-g (block_q, block_k) fp32 score/prob temporaries — Mosaic stack-
+    allocates them per unrolled g WITHOUT reuse (measured: G=8 at 512-blocks
+    wants 16.56 MB), so budget ~8 bytes per score element per g plus the
+    double-buffered io blocks."""
+    if _GROUP_OVERRIDE is not None:
+        return _GROUP_OVERRIDE
+    budget = 13 * 2 ** 20
+    per_elem = 8 + (8 if dropping else 0)   # fp32 s/p (+ uint32 iota/hash)
+    for g in (8, 4, 2, 1):
+        if h % g and g != 1:
+            continue
+        scores = g * block_q * block_k * per_elem
+        io = g * (block_q + 2 * block_k) * dh * 2 * 2 + g * block_q * dh * (4 + 2)
+        if scores + io <= budget:
+            return g
+    return 1
+
+
+_GROUP_OVERRIDE: int | None = None
+
+
 def _flash_forward(q, k, v, bias, seed, scale, softclamp_value, dropout_rate):
     b, h, n, dh = q.shape
-    block_q = block_k = _pick_block(n)
+    block_q, block_k = _blocks(n)
+    G = _bh_group(h, block_q, block_k, dh, dropout_rate > 0.0)
 
-    bias3 = bias[:, None, :]   # (b, 1, n): TPU-tileable block shape
+    bias3 = bias[:, :, None]   # (b, n, 1): sublane layout — n-sized axes in
+    hg = h // G                # sublane position tile with mult-of-8 blocks
 
     qf = q.reshape(b * h, n, dh)
     kf = k.reshape(b * h, n, dh)
     vf = v.reshape(b * h, n, dh)
 
-    grid = (b * h, -(-n // block_q), -(-n // block_k))
+    grid = (b * h // G, -(-n // block_q), -(-n // block_k))
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
                           softclamp_value=softclamp_value,
-                          dropout_rate=dropout_rate, seq_len=n),
+                          dropout_rate=dropout_rate, seq_len=n, bh_group=G),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
+            pl.BlockSpec((G, block_q, dh), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dh), lambda i, j, kb: (i, kb, 0),
+            pl.BlockSpec((G, block_k, dh), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dh), lambda i, j, kb: (i, kb, 0),
+            pl.BlockSpec((G, block_k, dh), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb),
+            pl.BlockSpec((1, block_k, 1), lambda i, j, kb: (i // hg, kb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),     # dropout seed (1,)
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
+            pl.BlockSpec((G, block_q, dh), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j),
+            pl.BlockSpec((G, block_q, 1), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),    # running max
-            pltpu.VMEM((block_q, 1), jnp.float32),    # running denom
-            pltpu.VMEM((block_q, dh), jnp.float32),   # accumulator
+            pltpu.VMEM((G, block_q, 1), jnp.float32),    # running max
+            pltpu.VMEM((G, block_q, 1), jnp.float32),    # running denom
+            pltpu.VMEM((G, block_q, dh), jnp.float32),   # accumulator
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
@@ -327,13 +395,14 @@ def _recompute_p_ds(q, k, bias, lse, do, v, delta, keep_scaled, *,
     return p, ds
 
 
-def _bwd_keep_scaled(seed_ref, qb, kb, bq, bk, dropout_rate):
-    """Regenerate the forward's keep mask (scaled) for the (qb, kb) tile."""
+def _bwd_keep_scaled(seed_ref, bh, qb, kb, bq, bk, dropout_rate):
+    """Regenerate the forward's keep mask (scaled) for batch-head `bh`'s
+    (qb, kb) tile."""
     if dropout_rate <= 0.0:
         return None
     keep = _keep_tile(
         seed_ref[0].astype(jnp.uint32),
-        pl.program_id(0).astype(jnp.uint32),
+        bh.astype(jnp.uint32),
         (qb * bq).astype(jnp.uint32),
         (kb * bk).astype(jnp.uint32),
         bq, bk, dropout_rate)
@@ -342,8 +411,9 @@ def _bwd_keep_scaled(seed_ref, qb, kb, bq, bk, dropout_rate):
 
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
                seed_ref, dq_ref, dq_scr, *, scale, softclamp_value,
-               dropout_rate, block_q, block_k, seq_len):
-    """Grid (bh, nq, nk): accumulate dq over key blocks.
+               dropout_rate, block_q, block_k, seq_len, bh_group):
+    """Grid (bh/G, nq, nk): accumulate dq over key blocks; G batch-heads per
+    step (see _fwd_kernel).
 
     Ragged q tail needs no handling here: garbage q/lse/delta rows only
     produce garbage dq rows, which Mosaic's masked store drops."""
@@ -352,31 +422,38 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
 
     @pl.when(kb == 0)
     def _init():
-        dq_scr[:] = jnp.zeros_like(dq_scr)
+        dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    k, v, bias_row = _clean_kv_tail(k_ref[0], v_ref[0], bias_ref[0],
-                                    kb, num_kb, seq_len)
+    bias_row0 = jnp.transpose(bias_ref[0], (1, 0))     # (1, bk)
 
-    keep_scaled = _bwd_keep_scaled(seed_ref, pl.program_id(1), kb,
-                                   block_q, block_k, dropout_rate)
-    p, ds = _recompute_p_ds(
-        q_ref[0], k, bias_row, lse_ref[0, 0][:, None], do_ref[0], v,
-        delta_ref[0, 0][:, None], keep_scaled,
-        scale=scale, softclamp_value=softclamp_value)
+    for g in range(bh_group):
+        k, v, bias_row = _clean_kv_tail(k_ref[g], v_ref[g], bias_row0,
+                                        kb, num_kb, seq_len)
 
-    dq_scr[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        keep_scaled = _bwd_keep_scaled(
+            seed_ref, pl.program_id(0) * bh_group + g, pl.program_id(1), kb,
+            block_q, block_k, dropout_rate)
+        p, ds = _recompute_p_ds(
+            q_ref[g], k, bias_row, lse_ref[g], do_ref[g], v,
+            delta_ref[g], keep_scaled,
+            scale=scale, softclamp_value=softclamp_value)
+
+        dq_scr[g] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(kb == num_kb - 1)
     def _done():
-        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+        for g in range(bh_group):
+            dq_ref[g] = dq_scr[g].astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
                 seed_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale,
-                softclamp_value, dropout_rate, block_q, block_k, seq_len):
-    """Grid (bh, nk, nq): accumulate dk/dv over query blocks.
+                softclamp_value, dropout_rate, block_q, block_k, seq_len,
+                bh_group):
+    """Grid (bh/G, nk, nq): accumulate dk/dv over query blocks; G batch-heads
+    per step (see _fwd_kernel).
 
     Ragged kv tail needs no handling here: garbage k/v/bias columns only
     produce garbage dk/dv rows on the tail kv tile, which the masked store
@@ -388,38 +465,44 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
 
     @pl.when(qb == 0)
     def _init():
-        dk_scr[:] = jnp.zeros_like(dk_scr)
-        dv_scr[:] = jnp.zeros_like(dv_scr)
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q, do, lse_row, delta_row = _clean_q_tail(
-        q_ref[0], do_ref[0], lse_ref[0], delta_ref[0], qb, num_qb, seq_len)
+    bias_row0 = jnp.transpose(bias_ref[0], (1, 0))     # (1, bk)
 
-    keep_scaled = _bwd_keep_scaled(seed_ref, qb, pl.program_id(1),
-                                   block_q, block_k, dropout_rate)
-    p, ds = _recompute_p_ds(
-        q, k_ref[0], bias_ref[0], lse_row[0][:, None], do, v_ref[0],
-        delta_row[0][:, None], keep_scaled,
-        scale=scale, softclamp_value=softclamp_value)
+    for g in range(bh_group):
+        q, do, lse_col, delta_col = _clean_q_tail(
+            q_ref[g], do_ref[g], lse_ref[g], delta_ref[g], qb, num_qb,
+            seq_len)
 
-    dv_scr[:] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dk_scr[:] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        keep_scaled = _bwd_keep_scaled(
+            seed_ref, pl.program_id(0) * bh_group + g, qb, pl.program_id(1),
+            block_q, block_k, dropout_rate)
+        p, ds = _recompute_p_ds(
+            q, k_ref[g], bias_row0, lse_col, do, v_ref[g],
+            delta_col, keep_scaled,
+            scale=scale, softclamp_value=softclamp_value)
+
+        dv_scr[g] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_scr[g] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(qb == num_qb - 1)
     def _done():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+        for g in range(bh_group):
+            dk_ref[g] = dk_scr[g].astype(dk_ref.dtype)
+            dv_ref[g] = dv_scr[g].astype(dv_ref.dtype)
 
 
 def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
                     dropout_rate):
     b, h, n, dh = q.shape
-    block_q = block_k = _pick_block(n)
+    block_q, block_k = _blocks(n)
 
-    bias3 = bias[:, None, :]
+    bias3 = bias[:, :, None]                           # (b, n, 1) sublane
 
     qf = q.reshape(b * h, n, dh)
     kf = k.reshape(b * h, n, dh)
@@ -429,38 +512,40 @@ def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
 
     # delta = rowsum(do * o) — tiny elementwise pre-pass in XLA
     delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
-                    axis=-1)[:, None, :]               # (bh, 1, n)
+                    axis=-1)[:, :, None]               # (bh, n, 1) sublane
 
+    G = _bh_group(h, block_q, block_k, dh, dropout_rate > 0.0)
+    hg = h // G
     common = dict(scale=scale, softclamp_value=softclamp_value,
                   dropout_rate=dropout_rate, block_q=block_q, block_k=block_k,
-                  seq_len=n)
+                  seq_len=n, bh_group=G)
     nq_blocks = -(-n // block_q)
     nk_blocks = -(-n // block_k)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
-        grid=(b * h, nq_blocks, nk_blocks),
+        grid=(b * h // G, nq_blocks, nk_blocks),
         in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
+            pl.BlockSpec((G, block_q, dh), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec((1, block_k, dh), lambda i, j, kb: (i, kb, 0),
+            pl.BlockSpec((G, block_k, dh), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),   # k
-            pl.BlockSpec((1, block_k, dh), lambda i, j, kb: (i, kb, 0),
+            pl.BlockSpec((G, block_k, dh), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),   # v
-            pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb),
+            pl.BlockSpec((1, block_k, 1), lambda i, j, kb: (i // hg, kb, 0),
                          memory_space=pltpu.VMEM),   # bias
-            pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j),
+            pl.BlockSpec((G, block_q, 1), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),   # lse
-            pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
+            pl.BlockSpec((G, block_q, dh), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),   # do
-            pl.BlockSpec((1, 1, block_q), lambda i, j, kb: (i, 0, j),
+            pl.BlockSpec((G, block_q, 1), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),   # delta
             pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed (1,)
         ],
-        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j, kb: (i, j, 0),
+        out_specs=pl.BlockSpec((G, block_q, dh), lambda i, j, kb: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, dh), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((G, block_q, dh), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=_INTERPRET,
@@ -468,28 +553,28 @@ def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, **common),
-        grid=(b * h, nk_blocks, nq_blocks),
+        grid=(b * h // G, nk_blocks, nq_blocks),
         in_specs=[
-            pl.BlockSpec((1, block_q, dh), lambda i, j, qb: (i, qb, 0),
+            pl.BlockSpec((G, block_q, dh), lambda i, j, qb: (i, qb, 0),
                          memory_space=pltpu.VMEM),   # q
-            pl.BlockSpec((1, block_k, dh), lambda i, j, qb: (i, j, 0),
+            pl.BlockSpec((G, block_k, dh), lambda i, j, qb: (i, j, 0),
                          memory_space=pltpu.VMEM),   # k
-            pl.BlockSpec((1, block_k, dh), lambda i, j, qb: (i, j, 0),
+            pl.BlockSpec((G, block_k, dh), lambda i, j, qb: (i, j, 0),
                          memory_space=pltpu.VMEM),   # v
-            pl.BlockSpec((1, 1, block_k), lambda i, j, qb: (i // h, 0, j),
+            pl.BlockSpec((1, block_k, 1), lambda i, j, qb: (i // hg, j, 0),
                          memory_space=pltpu.VMEM),   # bias
-            pl.BlockSpec((1, 1, block_q), lambda i, j, qb: (i, 0, qb),
+            pl.BlockSpec((G, block_q, 1), lambda i, j, qb: (i, qb, 0),
                          memory_space=pltpu.VMEM),   # lse
-            pl.BlockSpec((1, block_q, dh), lambda i, j, qb: (i, qb, 0),
+            pl.BlockSpec((G, block_q, dh), lambda i, j, qb: (i, qb, 0),
                          memory_space=pltpu.VMEM),   # do
-            pl.BlockSpec((1, 1, block_q), lambda i, j, qb: (i, 0, qb),
+            pl.BlockSpec((G, block_q, 1), lambda i, j, qb: (i, qb, 0),
                          memory_space=pltpu.VMEM),   # delta
             pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed (1,)
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, dh), lambda i, j, qb: (i, j, 0),
+            pl.BlockSpec((G, block_k, dh), lambda i, j, qb: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dh), lambda i, j, qb: (i, j, 0),
+            pl.BlockSpec((G, block_k, dh), lambda i, j, qb: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -497,8 +582,8 @@ def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
             jax.ShapeDtypeStruct((b * h, n, dh), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, dh), jnp.float32),
-            pltpu.VMEM((block_k, dh), jnp.float32),
+            pltpu.VMEM((G, block_k, dh), jnp.float32),
+            pltpu.VMEM((G, block_k, dh), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
