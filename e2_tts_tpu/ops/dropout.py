@@ -47,5 +47,5 @@ def hash_dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
     for axis in range(x.ndim):
         i = jax.lax.broadcasted_iota(jnp.uint32, x.shape, axis)
         ctr = ctr + i * _U(primes[axis])
-    keep = _fmix32(_fmix32(ctr)) >= _U(_keep_threshold(rate))
+    keep = _fmix32(ctr) >= _U(_keep_threshold(rate))
     return jnp.where(keep, x * (1.0 / (1.0 - rate)), 0.0).astype(x.dtype)

@@ -49,13 +49,16 @@ _INTERPRET = False   # flipped by tests on CPU
 _U = lambda x: jnp.uint32(x)
 
 
-def _fmix32(x):
-    """murmur3 32-bit finalizer — full avalanche over a uint32 counter."""
+def _fmix32(x, rounds: int = 2):
+    """32-bit mix finalizer (murmur3-style). rounds=2 gives full avalanche;
+    rounds=1 (xorshift-multiply-xorshift) is enough bit diffusion for a
+    dropout keep mask at half the VPU cost."""
     x = x ^ (x >> 16)
     x = x * _U(0x7FEB352D)
     x = x ^ (x >> 15)
-    x = x * _U(0x846CA68B)
-    x = x ^ (x >> 16)
+    if rounds >= 2:
+        x = x * _U(0x846CA68B)
+        x = x ^ (x >> 16)
     return x
 
 
@@ -67,11 +70,16 @@ def _keep_threshold(rate: float) -> int:
 def _keep_tile(seed_u32, bh_u32, row0_u32, col0_u32, bq, bk, rate: float):
     """(bq, bk) bool keep mask, a pure function of (seed, bh, abs row, abs col)
     — the backward kernels regenerate the forward's exact mask from the same
-    coordinates."""
+    coordinates.
+
+    One scalar fmix over (seed, bh) then a single per-element finalizer:
+    dropout needs uniform, decorrelated bits, not crypto — the full double
+    fmix measured +0.2 ms fwd / +0.7 ms bwd per flagship call (the backward
+    regenerates the mask in both kernels)."""
     rows = row0_u32 + jax.lax.broadcasted_iota(jnp.uint32, (bq, bk), 0)
     cols = col0_u32 + jax.lax.broadcasted_iota(jnp.uint32, (bq, bk), 1)
     h = _fmix32(seed_u32 ^ (bh_u32 * _U(0x27D4EB2F)))
-    u = _fmix32(h + rows * _U(0x9E3779B1) + cols * _U(0x85EBCA77))
+    u = _fmix32(h + rows * _U(0x9E3779B1) + cols * _U(0x85EBCA77), rounds=1)
     return u >= _U(_keep_threshold(rate))
 
 
@@ -83,7 +91,7 @@ def dropout_keep_mask(seed, bh_total: int, n: int, rate: float) -> jax.Array:
     cols = jnp.arange(n, dtype=jnp.uint32)[None, None, :]
     bhs = jnp.arange(bh_total, dtype=jnp.uint32)[:, None, None]
     h = _fmix32(seed_u32 ^ (bhs * _U(0x27D4EB2F)))
-    u = _fmix32(h + rows * _U(0x9E3779B1) + cols * _U(0x85EBCA77))
+    u = _fmix32(h + rows * _U(0x9E3779B1) + cols * _U(0x85EBCA77), rounds=1)
     return u >= _U(_keep_threshold(rate))
 
 
