@@ -86,6 +86,19 @@ def bench_train_step():
     def time_variant(drop_text: bool):
         loss = step(model, optimizer, jax.random.key(1), drop_text)
         loss.block_until_ready()   # compile
+        # profiler device self-time: wall-clock through the axon tunnel is
+        # NOT reliable (block_until_ready can return before remote execution
+        # finishes — see scripts/device_time.py and BENCH_NOTES); fall back
+        # to min-of-groups wall only if the xprof converter is unavailable
+        try:
+            from scripts.device_time import device_time_ms
+            ms = device_time_ms(
+                lambda: step(model, optimizer, jax.random.key(2), drop_text),
+                calls=5)
+            return ms / 1e3, loss
+        except Exception as e:  # pragma: no cover
+            print(f'# device_time unavailable ({e}); wall fallback',
+                  file=sys.stderr)
         times = []
         for i in range(5):
             t0 = time.perf_counter()

@@ -56,7 +56,7 @@ E2TTSReturn = namedtuple('E2TTS', ['loss', 'cond', 'pred_flow', 'pred_data', 'lo
 def _sample_ode(model, null_model, cond, cond_mask, mask, text, key, *,
                 steps, method, cfg_strength, remove_parallel_component=True,
                 keep_parallel_frac=0.0, atol=None, rtol=None,
-                batched_cfg=True):
+                batched_cfg=False):
     """Jitted ODE sampling core. Cached across `sample()` calls (keyed on the
     module graph + static args + shapes) — the whole NFE loop is one compiled
     `lax.scan` on device."""
@@ -331,7 +331,7 @@ class E2TTS(nnx.Module):
     ):
         """Classifier-free guidance with APG parallel-component removal
         (e2_tts.py:1303-1330) and the autoguidance hook (cfg_null_model).
-        With `batched_cfg` (default) the cond+null passes run as one
+        With `batched_cfg` the cond+null passes run as one
         2x-batched forward (see _cfg_batched_preds); autoguidance or absent
         text falls back to the sequential two-pass form."""
         if cfg_strength < 1e-5:
@@ -377,7 +377,12 @@ class E2TTS(nnx.Module):
         save_to_filename: str | None = None,
         key: jax.Array | None = None,
         duration_bucket: int = 128,   # pad gen length to a bucket: jit reuse
-        batched_cfg: bool = True,     # one 2x-batched CFG pass vs two passes
+        batched_cfg: bool = False,    # one 2x-batched CFG pass vs two
+                                      # sequential passes. Measured at B=1
+                                      # NFE=32 on v5e: sequential RTF 0.039
+                                      # vs batched 0.060 — the sequential
+                                      # null pass runs NO text stream at
+                                      # all, which beats the batching win
     ):
         """Zero-shot inference (e2_tts.py:1332-1466): prompt mel + text ->
         infilled mel (or waveform when a vocoder is attached)."""

@@ -13,10 +13,41 @@ degenerates to a plain residual (reference `disable=` path, e2_tts.py:607).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from flax import nnx
 
+
+
+class LazyStreams(NamedTuple):
+    """Residual streams left as (carried, branch, beta) — the depth
+    connection `carried + branch * beta` is NOT materialised; the next
+    HyperConnection fuses it into its width kernel (a full (s, b, n, d)
+    HBM write+read saved per chained branch). `materialize()` at chain
+    breaks (cross-condition, UNet skips, stream reduction)."""
+
+    carried: jax.Array   # (s, b, n, d)
+    branch: jax.Array    # (b, n, d)
+    beta: jax.Array      # (s, b, n)
+
+    @property
+    def dtype(self):
+        return self.carried.dtype
+
+    @property
+    def shape(self):
+        return self.carried.shape
+
+    def materialize(self) -> jax.Array:
+        return self.carried + self.branch[None].astype(self.carried.dtype) \
+            * self.beta[..., None].astype(self.carried.dtype)
+
+
+def materialize(x):
+    """Concrete (s, b, n, d) streams from either layout."""
+    return x.materialize() if isinstance(x, LazyStreams) else x
 
 
 def expand_stream(x: jax.Array, num_streams: int) -> jax.Array:
@@ -26,8 +57,12 @@ def expand_stream(x: jax.Array, num_streams: int) -> jax.Array:
     return jnp.broadcast_to(x[None], (num_streams, *x.shape))
 
 
-def reduce_stream(x: jax.Array) -> jax.Array:
+def reduce_stream(x) -> jax.Array:
     """(s, b, n, d) -> (b, n, d) by summing streams."""
+    if isinstance(x, LazyStreams):
+        # sum_s (carried + branch*beta) = sum carried + branch * sum beta
+        return (x.carried.sum(axis=0)
+                + x.branch * x.beta.sum(axis=0)[..., None].astype(x.branch.dtype))
     return x.sum(axis=0)
 
 
@@ -56,13 +91,16 @@ class HyperConnection(nnx.Module):
         self.dynamic_beta_fn = nnx.Param(jnp.zeros((dim,), dtype=param_dtype))
         self.dynamic_beta_scale = nnx.Param(jnp.asarray(1e-2, dtype=param_dtype))
 
-    def __call__(self, residuals: jax.Array):
+    def __call__(self, residuals):
+        """residuals: (s, b, n, d) array or a LazyStreams from the previous
+        branch (its depth connection then fuses into this width kernel)."""
         if self.num_streams == 1:
-            x = residuals[0]
+            x = materialize(residuals)[0]
             return x, lambda branch_out: (x + branch_out)[None]
 
         from e2_tts_tpu.ops import hyper_conn_kernel as hck
 
+        lazy = isinstance(residuals, LazyStreams)
         dtype = residuals.dtype
         s, b, n, d = residuals.shape
         params = (
@@ -75,20 +113,33 @@ class HyperConnection(nnx.Module):
         # reference path everywhere else. Both share the same math
         # (ops/hyper_conn_kernel.py); norm stats in fp32, streams in compute
         # dtype — the mix is bandwidth-bound.
-        flat = residuals.reshape(s, b * n, d)
-        if jax.default_backend() == 'tpu' or hck._INTERPRET:
-            mixed, beta = hck.width_connection(flat, *params)
+        on_tpu = jax.default_backend() == 'tpu' or hck._INTERPRET
+        if lazy:
+            carried_f = residuals.carried.reshape(s, b * n, d)
+            branch_f = residuals.branch.reshape(b * n, d)
+            betaT = jnp.transpose(residuals.beta.reshape(s, b * n))
+            if on_tpu:
+                mixed, beta = hck.width_connection_fused(
+                    carried_f, branch_f, betaT, *params)
+            else:
+                mixed, beta = hck._width_fused_reference(
+                    carried_f, branch_f, betaT, *params)
         else:
-            mixed, beta = hck._width_reference(flat, *params)
+            flat = residuals.reshape(s, b * n, d)
+            if on_tpu:
+                mixed, beta = hck.width_connection(flat, *params)
+            else:
+                mixed, beta = hck._width_reference(flat, *params)
         mixed = mixed.reshape(s + 1, b, n, d)
         beta = beta.reshape(s, b, n)
 
         branch_input = mixed[0]
         carried = mixed[1:]
 
-        def add_residual(branch_out: jax.Array) -> jax.Array:
-            # depth connection: write branch output into every stream
-            return carried + branch_out[None].astype(dtype) * beta[..., None]
+        def add_residual(branch_out: jax.Array) -> LazyStreams:
+            # depth connection, deferred: the next HyperConnection in the
+            # chain consumes it fused; boundaries call materialize()
+            return LazyStreams(carried, branch_out.astype(dtype), beta)
 
         return branch_input, add_residual
 

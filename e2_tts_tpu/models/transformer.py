@@ -29,7 +29,7 @@ from e2_tts_tpu.models.blocks import (
 )
 from e2_tts_tpu.models.hyper_connections import (
     HyperConnection, get_init_and_expand_reduce_stream_functions,
-    expand_stream, reduce_stream,
+    expand_stream, reduce_stream, materialize,
 )
 from e2_tts_tpu.ops.rotary import RotaryEmbedding
 from e2_tts_tpu.utils.helpers import exists, default, divisible_by, xnor
@@ -121,7 +121,11 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
         norm_kwargs = dict(condition=cond) if exists(cond) else {}
         freq_norm_kwargs = dict(condition=freq_cond) if exists(freq_cond) else {}
 
-        # text stream first, then cross-condition (e2_tts.py:853-883)
+        # text stream first, then cross-condition (e2_tts.py:853-883).
+        # Residuals flow between chained branches as LazyStreams: each
+        # branch's depth connection fuses into the NEXT width kernel;
+        # materialize() only at chain breaks (cross-condition, skips,
+        # layer exit).
         if exists(text_embed) and exists(tl):
             t_conv_hc, t_attn_hc, t_ff_hc = t_hcs[0], t_hcs[1], t_hcs[2]
 
@@ -138,9 +142,11 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
             t_in, add_residual = t_ff_hc(text_embed)
             text_embed = add_residual(tl.ff(tl.ff_norm(t_in)))
 
-            x, text_embed = tl.cross_condition(x, text_embed, gate=text_gate)
+            x, text_embed = tl.cross_condition(
+                materialize(x), materialize(text_embed), gate=text_gate)
 
         # UNet skips on the speech stream (e2_tts.py:887-896)
+        x = materialize(x)
         skip_out = x if push_skip else None
         if exists(skip):
             x = jnp.concatenate((x, skip), axis=-1)
@@ -184,7 +190,7 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
         ff_out = sl.ff_adaln_zero(ff_out, **norm_kwargs)
         x = add_residual(ff_out)
 
-        return x, text_embed, skip_out, attn_v, text_v, freq_v
+        return materialize(x), text_embed, skip_out, attn_v, text_v, freq_v
 
     return layer_fn
 

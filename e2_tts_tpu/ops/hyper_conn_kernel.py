@@ -55,19 +55,17 @@ def _width_reference(residuals, static_alpha, static_beta, dyn_alpha_w,
     return mixed, beta
 
 
-def _width_kernel(r_ref, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
-                  mixed_ref, beta_ref, *, num_streams):
+def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+                mixed_ref, beta_ref, num_streams):
+    """Width-connection math over a list of per-stream (T, d) residuals —
+    shared by the plain kernel (reads them from HBM) and the depth-fused
+    kernel (computes them from carried/branch/beta in VMEM)."""
     s = num_streams
     a_scale = scales_ref[0, 0]
     b_scale = scales_ref[0, 1]
 
-    r = r_ref[...]                     # (s, T, d) compute dtype
-    dt = r.dtype
-    d = r.shape[-1]
-
-    sq = jnp.sum(r.astype(jnp.float32) * r.astype(jnp.float32), axis=-1)
-    inv = jax.lax.rsqrt(jnp.clip(sq / d, min=1e-12))
-    normed = r * inv[..., None].astype(dt)                     # (s, T, d)
+    dt = rs[0].dtype
+    d = rs[0].shape[-1]
 
     aw = aw_ref[...]                   # (d, pad) compute dtype
     bw = bw_ref[...]                   # (1, d)
@@ -76,24 +74,57 @@ def _width_kernel(r_ref, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
     alphas = []
     betas = []
     for si in range(s):
+        r_f32 = rs[si].astype(jnp.float32)
+        sq = jnp.sum(r_f32 * r_f32, axis=-1)
+        inv = jax.lax.rsqrt(jnp.clip(sq / d, min=1e-12))
+        normed = rs[si] * inv[:, None].astype(dt)              # (T, d)
+
         proj = jax.lax.dot_general(
-            normed[si], aw, (((1,), (0,)), ((), ())),
+            normed, aw, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (T, pad)
         alpha = jnp.tanh(proj) * a_scale + sa_ref[si][None, :]  # (T, pad)
         alphas.append(alpha.astype(dt))
 
-        projb = jnp.sum(normed[si].astype(jnp.float32)
+        projb = jnp.sum(normed.astype(jnp.float32)
                         * bw[0][None, :].astype(jnp.float32), axis=-1)
         betas.append(jnp.tanh(projb) * b_scale + sb_ref[0, si])
 
     # stream mix: mixed[t] = sum_s alpha[s][:, t] * r[s]
     for t in range(s + 1):
-        acc = alphas[0][:, t][:, None].astype(jnp.float32) * r[0].astype(jnp.float32)
+        acc = alphas[0][:, t][:, None].astype(jnp.float32) * rs[0].astype(jnp.float32)
         for si in range(1, s):
-            acc += alphas[si][:, t][:, None].astype(jnp.float32) * r[si].astype(jnp.float32)
+            acc += alphas[si][:, t][:, None].astype(jnp.float32) * rs[si].astype(jnp.float32)
         mixed_ref[t] = acc.astype(dt)
 
     beta_ref[...] = jnp.stack(betas).astype(dt)
+
+
+def _width_kernel(r_ref, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+                  mixed_ref, beta_ref, *, num_streams):
+    rs = [r_ref[si] for si in range(num_streams)]
+    _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+                mixed_ref, beta_ref, num_streams)
+
+
+def _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams):
+    """r[si] = carried[si] + branch * beta[si] computed in VMEM — the depth
+    connection of the PREVIOUS branch fused into this kernel, so the (s,M,d)
+    residual streams are never materialised in HBM between branches.
+    betaT is (M, s): the column layout puts M in sublane position, matching
+    the (T, d) row tiles."""
+    branch = branch_ref[...]
+    dt = branch.dtype
+    return [carried_ref[si]
+            + branch * betaT_ref[:, si][:, None].astype(dt)
+            for si in range(num_streams)]
+
+
+def _width_fused_kernel(carried_ref, branch_ref, betaT_ref, sa_ref, sb_ref,
+                        aw_ref, bw_ref, scales_ref, mixed_ref, beta_ref, *,
+                        num_streams):
+    rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams)
+    _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+                mixed_ref, beta_ref, num_streams)
 
 
 def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
@@ -147,15 +178,17 @@ def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
     return mixed[:, :m], beta[:, :m]
 
 
-def _width_bwd_kernel(r_ref, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
-                      scales_ref, gr_ref, gsa_ref, gsb_ref, gaw_ref, gbw_ref,
-                      gscales_ref, *, num_streams):
-    """Adjoint of the width connection, one VMEM pass per row tile.
+def _width_bwd_core(rs, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
+                    scales_ref, gsa_ref, gsb_ref, gaw_ref, gbw_ref,
+                    gscales_ref, num_streams):
+    """Adjoint of the width connection over per-stream (T, d) residuals.
 
-    Recomputes the cheap forward intermediates (rms stat, projections, tanh)
-    from the residuals, then applies the hand-derived chain rule. Parameter
-    gradients accumulate in fp32 output blocks (constant index map — the
-    sequential row-tile grid revisits the same VMEM block)."""
+    Recomputes the cheap forward intermediates (rms stat, projections, tanh),
+    applies the hand-derived chain rule, accumulates the parameter grads into
+    fp32 output blocks (constant index map — the sequential row-tile grid
+    revisits the same VMEM block), and RETURNS the per-stream fp32 residual
+    grads for the caller to route (plain: written to g_r; depth-fused:
+    split into g_carried / g_branch / g_beta)."""
     s = num_streams
     i = pl.program_id(0)
 
@@ -170,11 +203,10 @@ def _width_bwd_kernel(r_ref, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
     a_scale = scales_ref[0, 0]
     b_scale = scales_ref[0, 1]
 
-    r = r_ref[...]                      # (s, T, d) compute dtype
     gm = gm_ref[...]                    # (s+1, T, d)
     gb = gb_ref[...]                    # (s, T)
-    dt = r.dtype
-    d = r.shape[-1]
+    dt = rs[0].dtype
+    d = rs[0].shape[-1]
     pad_cols = aw_ref.shape[-1]
 
     aw = aw_ref[...]                    # (d, pad) dt
@@ -190,9 +222,10 @@ def _width_bwd_kernel(r_ref, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
     gsb_vals = []            # scalar per stream
     gaw_acc = jnp.zeros(gaw_ref.shape, jnp.float32)
     gbw_acc = jnp.zeros((d,), jnp.float32)
+    g_rs = []
 
     for si in range(s):
-        r_s = r[si]                                     # (T, d) dt
+        r_s = rs[si]                                    # (T, d) dt
         r_f32 = r_s.astype(jnp.float32)
         gb_s = gb[si].astype(jnp.float32)               # (T,)
 
@@ -253,7 +286,7 @@ def _width_bwd_kernel(r_ref, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
                          g_inv * (-0.5) * inv * inv * inv / d, 0.0)
         g_r += 2.0 * r_f32 * g_sq[:, None]
 
-        gr_ref[si] = g_r.astype(dt)
+        g_rs.append(g_r)
 
     # whole-block accumulations (row/scalar VMEM writes are not tile-friendly)
     gsa_ref[...] += jnp.stack(gsa_rows)                  # (s, pad)
@@ -261,6 +294,45 @@ def _width_bwd_kernel(r_ref, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
     gaw_ref[...] += gaw_acc
     gbw_ref[...] += gbw_acc[None, :]
     gscales_ref[...] += jnp.stack([g_ascale, g_bscale])[None, :]
+    return g_rs
+
+
+def _width_bwd_kernel(r_ref, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
+                      scales_ref, gr_ref, gsa_ref, gsb_ref, gaw_ref, gbw_ref,
+                      gscales_ref, *, num_streams):
+    rs = [r_ref[si] for si in range(num_streams)]
+    g_rs = _width_bwd_core(rs, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref,
+                           bw_ref, scales_ref, gsa_ref, gsb_ref, gaw_ref,
+                           gbw_ref, gscales_ref, num_streams)
+    for si in range(num_streams):
+        gr_ref[si] = g_rs[si].astype(gr_ref.dtype)
+
+
+def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gm_ref,
+                            gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
+                            scales_ref, gc_ref, gbr_ref, gbT_ref, gsa_ref,
+                            gsb_ref, gaw_ref, gbw_ref, gscales_ref, *,
+                            num_streams):
+    """Depth-fused adjoint: r[si] = carried[si] + branch * beta[si] is
+    recomputed in VMEM, and the residual grads split by the chain rule:
+    g_carried[si] = g_r[si];  g_branch = sum_si g_r[si] * beta[si];
+    g_beta[si] = sum_d g_r[si] * branch."""
+    s = num_streams
+    rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, s)
+    g_rs = _width_bwd_core(rs, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref,
+                           bw_ref, scales_ref, gsa_ref, gsb_ref, gaw_ref,
+                           gbw_ref, gscales_ref, s)
+
+    branch_f32 = branch_ref[...].astype(jnp.float32)
+    gbranch = jnp.zeros_like(branch_f32)
+    gbeta_cols = []
+    for si in range(s):
+        gc_ref[si] = g_rs[si].astype(gc_ref.dtype)
+        beta_col = betaT_ref[:, si][:, None].astype(jnp.float32)   # (T, 1)
+        gbranch += g_rs[si] * beta_col
+        gbeta_cols.append(jnp.sum(g_rs[si] * branch_f32, axis=-1))  # (T,)
+    gbr_ref[...] = gbranch.astype(gbr_ref.dtype)
+    gbT_ref[...] = jnp.stack(gbeta_cols, axis=-1).astype(gbT_ref.dtype)
 
 
 def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
@@ -336,6 +408,191 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
             g_scales[0, 0].astype(dyn_alpha_scale.dtype),
             g_bw[0].astype(dyn_beta_w.dtype),
             g_scales[0, 1].astype(dyn_beta_scale.dtype))
+
+
+def _fused_prepare(carried, branch, betaT, static_alpha, dyn_alpha_w,
+                   static_beta, dyn_beta_w, dyn_alpha_scale, dyn_beta_scale,
+                   block_m):
+    s, m, d = carried.shape
+    dt = carried.dtype
+    m_pad = round_up_to_multiple(m, block_m)
+    if m_pad != m:
+        carried = jnp.pad(carried, ((0, 0), (0, m_pad - m), (0, 0)))
+        branch = jnp.pad(branch, ((0, m_pad - m), (0, 0)))
+        betaT = jnp.pad(betaT, ((0, m_pad - m), (0, 0)))
+        # padded rows: r = 0 + 0*0 = 0 => contribute nothing anywhere
+    pad_cols = _LANE_PAD * ((s + 1 + _LANE_PAD - 1) // _LANE_PAD)
+    sa = jnp.pad(static_alpha.astype(jnp.float32),
+                 ((0, 0), (0, pad_cols - (s + 1))))
+    aw = jnp.pad(dyn_alpha_w.astype(dt), ((0, 0), (0, pad_cols - (s + 1))))
+    bw = dyn_beta_w.astype(dt)[None, :]
+    sb = static_beta.astype(jnp.float32)[None, :]
+    scales = jnp.stack([dyn_alpha_scale, dyn_beta_scale]).astype(jnp.float32)[None, :]
+    return carried, branch, betaT, sa, sb, aw, bw, scales, m_pad, pad_cols
+
+
+def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
+                        dyn_alpha_w, dyn_alpha_scale, dyn_beta_w,
+                        dyn_beta_scale, block_m: int = 256):
+    s, m, d = carried.shape
+    dt = carried.dtype
+    carried, branch, betaT, sa, sb, aw, bw, scales, m_pad, pad_cols = \
+        _fused_prepare(carried, branch, betaT, static_alpha, dyn_alpha_w,
+                       static_beta, dyn_beta_w, dyn_alpha_scale,
+                       dyn_beta_scale, block_m)
+    grid = (m_pad // block_m,)
+    const = lambda i: (0, 0)
+
+    mixed, beta = pl.pallas_call(
+        functools.partial(_width_fused_kernel, num_streams=s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # carried
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # branch
+            pl.BlockSpec((block_m, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # betaT
+            pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s + 1, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, block_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s + 1, m_pad, d), dt),
+            jax.ShapeDtypeStruct((s, m_pad), dt),
+        ],
+        interpret=_INTERPRET,
+    )(carried, branch, betaT, sa, sb, aw, bw, scales)
+
+    return mixed[:, :m], beta[:, :m]
+
+
+def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
+                            static_beta, dyn_alpha_w, dyn_alpha_scale,
+                            dyn_beta_w, dyn_beta_scale, g_mixed, g_beta,
+                            block_m: int = 128):
+    s, m, d = carried.shape
+    dt = carried.dtype
+    m_pad = round_up_to_multiple(m, block_m)
+    if m_pad != m:
+        g_mixed = jnp.pad(g_mixed, ((0, 0), (0, m_pad - m), (0, 0)))
+        g_beta = jnp.pad(g_beta, ((0, 0), (0, m_pad - m)))
+    carried, branch, betaT, sa, sb, aw, bw, scales, m_pad, pad_cols = \
+        _fused_prepare(carried, branch, betaT, static_alpha, dyn_alpha_w,
+                       static_beta, dyn_beta_w, dyn_alpha_scale,
+                       dyn_beta_scale, block_m)
+    grid = (m_pad // block_m,)
+    const = lambda i: (0, 0)
+
+    outs = pl.pallas_call(
+        functools.partial(_width_fused_bwd_kernel, num_streams=s),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # carried
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # branch
+            pl.BlockSpec((block_m, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # betaT
+            pl.BlockSpec((s + 1, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # g_mixed
+            pl.BlockSpec((s, block_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),          # g_beta
+            pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # g_carried
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # g_branch
+            pl.BlockSpec((block_m, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # g_betaT
+            pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, m_pad, d), dt),
+            jax.ShapeDtypeStruct((m_pad, d), dt),
+            jax.ShapeDtypeStruct((m_pad, s), dt),
+            jax.ShapeDtypeStruct((s, pad_cols), jnp.float32),
+            jax.ShapeDtypeStruct((1, s), jnp.float32),
+            jax.ShapeDtypeStruct((d, pad_cols), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),   # sequential: accumulators
+        interpret=_INTERPRET,
+    )(carried, branch, betaT, g_mixed, g_beta, sa, sb, aw, bw, scales)
+
+    g_c, g_br, g_bT, g_sa, g_sb, g_aw, g_bw, g_scales = outs
+    p32 = static_alpha.dtype
+    return (g_c[:, :m], g_br[:m], g_bT[:m],
+            g_sa[:, :s + 1].astype(p32),
+            g_sb[0].astype(static_beta.dtype),
+            g_aw[:, :s + 1].astype(dyn_alpha_w.dtype),
+            g_scales[0, 0].astype(dyn_alpha_scale.dtype),
+            g_bw[0].astype(dyn_beta_w.dtype),
+            g_scales[0, 1].astype(dyn_beta_scale.dtype))
+
+
+def _width_fused_reference(carried, branch, betaT, static_alpha, static_beta,
+                           dyn_alpha_w, dyn_alpha_scale, dyn_beta_w,
+                           dyn_beta_scale):
+    r = carried + branch[None].astype(carried.dtype) \
+        * jnp.transpose(betaT)[..., None].astype(carried.dtype)
+    return _width_reference(r, static_alpha, static_beta, dyn_alpha_w,
+                            dyn_alpha_scale, dyn_beta_w, dyn_beta_scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def width_connection_fused(carried, branch, betaT, static_alpha, static_beta,
+                           dyn_alpha_w, dyn_alpha_scale, dyn_beta_w,
+                           dyn_beta_scale):
+    """Depth-connection-fused width connection.
+
+    carried (s, M, d) + branch (M, d) + betaT (M, s) implicitly form
+    r[si] = carried[si] + branch * betaT[:, si] (the previous branch's depth
+    connection) INSIDE the kernel — the residual streams never round-trip
+    through HBM between branches. Returns ((s+1, M, d) mixed, (s, M) beta)
+    exactly like `width_connection(r, ...)`."""
+    if (jax.default_backend() == 'tpu' or _INTERPRET):
+        return _width_fused_pallas(carried, branch, betaT, static_alpha,
+                                   static_beta, dyn_alpha_w, dyn_alpha_scale,
+                                   dyn_beta_w, dyn_beta_scale)
+    return _width_fused_reference(carried, branch, betaT, static_alpha,
+                                  static_beta, dyn_alpha_w, dyn_alpha_scale,
+                                  dyn_beta_w, dyn_beta_scale)
+
+
+def _width_fused_fwd(*args):
+    return width_connection_fused(*args), args
+
+
+def _width_fused_bwd(args, g):
+    g_mixed, g_beta = g
+    if jax.default_backend() == 'tpu' or _INTERPRET:
+        return _width_fused_bwd_pallas(*args, g_mixed, g_beta)
+    _, vjp = jax.vjp(_width_fused_reference, *args)
+    return vjp(g)
+
+
+width_connection_fused.defvjp(_width_fused_fwd, _width_fused_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

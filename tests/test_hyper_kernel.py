@@ -110,3 +110,66 @@ def test_transformer_uses_kernel_in_interpret_mode():
     out_ref = model(x, times=jnp.array([0.3, 0.8]))
     np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_ref),
                                atol=2e-4)
+
+
+def make_fused_inputs(s=4, m=100, d=64, dtype=jnp.float32, seed=3):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    base = make_inputs(s=s, m=m, d=d, dtype=dtype, seed=seed)
+    carried = jax.random.normal(ks[0], (s, m, d), dtype=dtype)
+    branch = jax.random.normal(ks[1], (m, d), dtype=dtype)
+    betaT = jax.random.normal(ks[2], (m, s), dtype=dtype) * 0.5 + 1.0
+    return (carried, branch, betaT) + base[1:]
+
+
+@pytest.mark.parametrize('dtype', [jnp.float32, jnp.bfloat16])
+def test_fused_kernel_matches_materialized(dtype):
+    """Depth-fused width == materialize-then-width, bit-for-math."""
+    args = make_fused_inputs(dtype=dtype)
+    carried, branch, betaT = args[:3]
+    mixed_f, beta_f = hck.width_connection_fused(*args)
+    r = carried + branch[None].astype(dtype) \
+        * jnp.transpose(betaT)[..., None].astype(dtype)
+    mixed_p, beta_p = hck.width_connection(r, *args[3:])
+    atol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(mixed_f, np.float32),
+                               np.asarray(mixed_p, np.float32), atol=atol)
+    np.testing.assert_allclose(np.asarray(beta_f, np.float32),
+                               np.asarray(beta_p, np.float32), atol=atol)
+
+
+def test_fused_kernel_grads_match_reference():
+    """Hand-derived fused adjoint vs jax.vjp over the reference composition,
+    for ALL nine inputs (carried/branch/betaT + the six params)."""
+    args = make_fused_inputs(m=96)
+
+    def loss_k(*a):
+        mixed, beta = hck.width_connection_fused(*a)
+        return (mixed.astype(jnp.float32) ** 2).mean() + \
+            (beta.astype(jnp.float32) ** 2).mean()
+
+    def loss_r(*a):
+        mixed, beta = hck._width_fused_reference(*a)
+        return (mixed.astype(jnp.float32) ** 2).mean() + \
+            (beta.astype(jnp.float32) ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=tuple(range(9)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(9)))(*args)
+    for a, b in zip(gk, gr):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b32).max(), 1e-6)
+        np.testing.assert_allclose(a32, b32, atol=2e-4 * scale, rtol=2e-4)
+
+
+def test_lazy_streams_through_backbone():
+    """The LazyStreams chain (depth fused into the next width kernel) must
+    match... itself is exercised by the backbone parity test above; here
+    check materialize()/reduce_stream algebra directly."""
+    from e2_tts_tpu.models.hyper_connections import LazyStreams, reduce_stream
+    ks = jax.random.split(jax.random.key(0), 3)
+    carried = jax.random.normal(ks[0], (4, 2, 8, 16))
+    branch = jax.random.normal(ks[1], (2, 8, 16))
+    beta = jax.random.normal(ks[2], (4, 2, 8))
+    lazy = LazyStreams(carried, branch, beta)
+    np.testing.assert_allclose(
+        np.asarray(reduce_stream(lazy)),
+        np.asarray(lazy.materialize().sum(axis=0)), atol=1e-5)
