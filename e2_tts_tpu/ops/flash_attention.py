@@ -417,6 +417,75 @@ def _bwd_keep_scaled(seed_ref, bh, qb, kb, bq, bk, dropout_rate):
     return keep.astype(jnp.float32) * (1.0 / (1.0 - dropout_rate))
 
 
+def _bwd_merged_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
+                       delta_ref, seed_ref, dq_ref, dk_ref, dv_ref,
+                       dq_scr, dk_scr, dv_scr, *, scale, softclamp_value,
+                       dropout_rate, block_q, block_k, seq_len, bh_group):
+    """ONE backward kernel for dq, dk AND dv — grid (bh/G, nk, nq), q inner.
+
+    The split dq/dkv kernels each recompute scores + softclamp + probs +
+    dropout mask per tile (2x the transcendental/hash VPU work and 2x the
+    q/k/v/do DMA). Here the recompute happens once: dk/dv accumulate in
+    per-kv-block scratch as usual, while dq accumulates into a
+    WHOLE-SEQUENCE VMEM scratch (G, n, dh) fp32 — only ~2 MB at flagship
+    shape — indexed by a mult-of-8-aligned dynamic sublane slice, and is
+    flushed to HBM once on the final grid step of each bh group."""
+    kb = pl.program_id(1)
+    qb = pl.program_id(2)
+    num_kb = pl.num_programs(1)
+    num_qb = pl.num_programs(2)
+
+    @pl.when((kb == 0) & (qb == 0))
+    def _init_dq():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    @pl.when(qb == 0)
+    def _init_dkv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    bias_row0 = jnp.transpose(bias_ref[0], (1, 0))     # (1, bk)
+
+    for g in range(bh_group):
+        k, v, bias_row = _clean_kv_tail(k_ref[g], v_ref[g], bias_row0,
+                                        kb, num_kb, seq_len)
+        q, do, lse_col, delta_col = _clean_q_tail(
+            q_ref[g], do_ref[g], lse_ref[g], delta_ref[g], qb, num_qb,
+            seq_len)
+
+        keep_scaled = _bwd_keep_scaled(
+            seed_ref, pl.program_id(0) * bh_group + g, qb, kb,
+            block_q, block_k, dropout_rate)
+        p, ds = _recompute_p_ds(
+            q, k, bias_row, lse_col, do, v, delta_col, keep_scaled,
+            scale=scale, softclamp_value=softclamp_value)
+
+        dv_scr[g] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_scr[g] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        sl = pl.ds(qb * block_q, block_q)
+        dq_scr[g, sl] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qb == num_qb - 1)
+    def _flush_dkv():
+        for g in range(bh_group):
+            dk_ref[g] = dk_scr[g].astype(dk_ref.dtype)
+            dv_ref[g] = dv_scr[g].astype(dv_ref.dtype)
+
+    @pl.when((kb == num_kb - 1) & (qb == num_qb - 1))
+    def _flush_dq():
+        for g in range(bh_group):
+            # dq_scr is padded to num_qb*block_q rows in the ragged
+            # fallback; garbage tail rows are simply not copied out
+            dq_ref[g] = dq_scr[g, :seq_len].astype(dq_ref.dtype)
+
+
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref, delta_ref,
                seed_ref, dq_ref, dq_scr, *, scale, softclamp_value,
                dropout_rate, block_q, block_k, seq_len, bh_group):
@@ -522,13 +591,85 @@ def _flash_backward(q, k, v, bias, seed, o, lse, g, scale, softclamp_value,
     delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
                     axis=-1)[:, :, None]               # (bh, n, 1) sublane
 
+    nq_blocks = -(-n // block_q)
+    nk_blocks = -(-n // block_k)
+    n_pad = nq_blocks * block_q
+
+    # merged-kernel group size: the whole-sequence dq scratch joins the
+    # VMEM budget. 0 => no G fits, fall back to the split dq/dkv kernels.
+    def _merged_group():
+        budget = 13 * 2 ** 20
+        # the merged kernel holds s/p/dp/ds (+ dropout iota/hash) fp32
+        # score-shaped temporaries live per unrolled g — Mosaic stack does
+        # not reuse slots across the loop (measured: 8 B/elem OOMs at G=4)
+        per_elem = 28 + (8 if dropout_rate > 0.0 else 0)
+        for g in (8, 4, 2, 1):
+            if h % g:
+                continue
+            scores = g * block_q * block_k * per_elem
+            dq_scr = g * n_pad * dh * 4
+            io = g * (2 * block_q + 2 * block_k) * dh * 2 * 2 \
+                + g * 2 * block_k * dh * 4
+            if scores + dq_scr + io <= budget:
+                return g
+        return 0
+
+    Gm = _merged_group()
+    if Gm:
+        hg = h // Gm
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_merged_kernel, scale=scale,
+                softclamp_value=softclamp_value, dropout_rate=dropout_rate,
+                block_q=block_q, block_k=block_k, seq_len=n, bh_group=Gm),
+            grid=(b * h // Gm, nk_blocks, nq_blocks),
+            in_specs=[
+                pl.BlockSpec((Gm, block_q, dh), lambda i, j, qb: (i, qb, 0),
+                             memory_space=pltpu.VMEM),   # q
+                pl.BlockSpec((Gm, block_k, dh), lambda i, j, qb: (i, j, 0),
+                             memory_space=pltpu.VMEM),   # k
+                pl.BlockSpec((Gm, block_k, dh), lambda i, j, qb: (i, j, 0),
+                             memory_space=pltpu.VMEM),   # v
+                pl.BlockSpec((1, block_k, 1), lambda i, j, qb: (i // hg, j, 0),
+                             memory_space=pltpu.VMEM),   # bias
+                pl.BlockSpec((Gm, block_q, 1), lambda i, j, qb: (i, qb, 0),
+                             memory_space=pltpu.VMEM),   # lse
+                pl.BlockSpec((Gm, block_q, dh), lambda i, j, qb: (i, qb, 0),
+                             memory_space=pltpu.VMEM),   # do
+                pl.BlockSpec((Gm, block_q, 1), lambda i, j, qb: (i, qb, 0),
+                             memory_space=pltpu.VMEM),   # delta
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed (1,)
+            ],
+            out_specs=[
+                pl.BlockSpec((Gm, n, dh), lambda i, j, qb: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # dq (whole seq)
+                pl.BlockSpec((Gm, block_k, dh), lambda i, j, qb: (i, j, 0),
+                             memory_space=pltpu.VMEM),   # dk
+                pl.BlockSpec((Gm, block_k, dh), lambda i, j, qb: (i, j, 0),
+                             memory_space=pltpu.VMEM),   # dv
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b * h, n, dh), q.dtype),
+                jax.ShapeDtypeStruct((b * h, n, dh), k.dtype),
+                jax.ShapeDtypeStruct((b * h, n, dh), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Gm, n_pad, dh), jnp.float32),
+                pltpu.VMEM((Gm, block_k, dh), jnp.float32),
+                pltpu.VMEM((Gm, block_k, dh), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+            interpret=_INTERPRET,
+        )(qf, kf, vf, bias3, lse, gf, delta, seed)
+        to_bhnd = lambda t: t.reshape(b, h, n, dh)
+        return to_bhnd(dq), to_bhnd(dk), to_bhnd(dv)
+
     G = _bh_group(h, block_q, block_k, dh, dropout_rate > 0.0)
     hg = h // G
     common = dict(scale=scale, softclamp_value=softclamp_value,
                   dropout_rate=dropout_rate, block_q=block_q, block_k=block_k,
                   seq_len=n, bh_group=G)
-    nq_blocks = -(-n // block_q)
-    nk_blocks = -(-n // block_k)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
