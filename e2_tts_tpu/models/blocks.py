@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from e2_tts_tpu.ops.attention import attention as attention_op
-from e2_tts_tpu.ops.rotary import apply_rotary
+from e2_tts_tpu.ops.attention import attention_packed as attention_packed_op
+from e2_tts_tpu.ops.rotary import apply_rotary_packed
 from e2_tts_tpu.utils.helpers import exists, default, divisible_by, round_up_to_multiple
 from e2_tts_tpu.utils.masking import pad_to_length
 from e2_tts_tpu.utils.tensor import masked_interpolate_1d
@@ -66,13 +66,22 @@ class AdaptiveRMSNorm(nnx.Module):
             dtype=dtype, param_dtype=param_dtype, rngs=rngs,
         )
 
-    def __call__(self, x, *, condition):
+    def __call__(self, x, *, condition=None, gamma_lin=None):
+        """Either ``condition`` (projected here) or ``gamma_lin`` (the
+        pre-projected ``to_gamma(condition)``, e.g. from the Transformer's
+        layer-batched conditioning GEMM) must be provided."""
         dtype = x.dtype
-        if condition.ndim == 2:
-            condition = condition[:, None, :]
+        if exists(gamma_lin):
+            glin = gamma_lin
+        else:
+            if condition.ndim == 2:
+                condition = condition[:, None, :]
+            glin = self.to_gamma(condition)
+        if glin.ndim == 2:
+            glin = glin[:, None, :]
         xf = x.astype(jnp.float32)
         normed = xf * jax.lax.rsqrt(jnp.clip((xf * xf).sum(-1, keepdims=True), min=1e-12))
-        gamma = self.to_gamma(condition).astype(jnp.float32) + 1.0
+        gamma = glin.astype(jnp.float32) + 1.0
         return (normed * self.scale * gamma).astype(dtype)
 
 
@@ -91,10 +100,18 @@ class AdaLNZero(nnx.Module):
             dtype=dtype, param_dtype=param_dtype, rngs=rngs,
         )
 
-    def __call__(self, x, *, condition):
-        if condition.ndim == 2:
-            condition = condition[:, None, :]
-        gamma = jax.nn.sigmoid(self.to_gamma(condition).astype(jnp.float32))
+    def __call__(self, x, *, condition=None, gamma_lin=None):
+        """``gamma_lin`` is the pre-projected ``to_gamma(condition)``
+        (bias included) when the caller batches conditioning projections."""
+        if exists(gamma_lin):
+            glin = gamma_lin
+        else:
+            if condition.ndim == 2:
+                condition = condition[:, None, :]
+            glin = self.to_gamma(condition)
+        if glin.ndim == 2:
+            glin = glin[:, None, :]
+        gamma = jax.nn.sigmoid(glin.astype(jnp.float32))
         return (x.astype(jnp.float32) * gamma).astype(x.dtype)
 
 
@@ -340,33 +357,74 @@ class Attention(nnx.Module):
 
         self.rngs = rngs
 
+    def _fused_input_proj(self, x):
+        """q/k/v (+ value-head-gate and value-residual-mix logits) in ONE
+        GEMM. The five projections share the same input; as separate
+        nnx.Linear calls the two h-wide ones are (.., dim) x (dim, 8)
+        matmuls — 8 of 128 MXU lanes — and each costs a full read of x.
+        Concatenating the kernels (params stay separate: checkpoint/EMA/TP
+        layouts unchanged) makes one (.., dim) x (dim, 3*inner + 2h) GEMM;
+        the slice adjoints likewise batch the five dW GEMMs in the backward.
+        """
+        from flax.nnx.nn.dtypes import promote_dtype
+        inner = self.heads * self.dim_head
+        kernels = [self.to_q.kernel[...], self.to_k.kernel[...],
+                   self.to_v.kernel[...]]
+        offs = [0, inner, 2 * inner, 3 * inner]
+        for lin in (self.to_v_head_gate, self.to_value_residual_mix):
+            if exists(lin):
+                kernels.append(lin.kernel[...])
+                offs.append(offs[-1] + lin.kernel.shape[1])
+        w = jnp.concatenate(kernels, axis=1)
+        x, w = promote_dtype((x, w), dtype=self.to_q.dtype)
+        fused = x @ w
+        q = fused[..., offs[0]:offs[1]]
+        k = fused[..., offs[1]:offs[2]]
+        v = fused[..., offs[2]:offs[3]]
+        rest = fused[..., offs[3]:]
+        gate_logits = mix_logits = None
+        if exists(self.to_v_head_gate):
+            lin = self.to_v_head_gate
+            gate_logits = rest[..., :self.heads] + lin.bias[...].astype(rest.dtype)
+            rest = rest[..., self.heads:]
+        if exists(self.to_value_residual_mix):
+            lin = self.to_value_residual_mix
+            mix_logits = rest[..., :self.heads] + lin.bias[...].astype(rest.dtype)
+        return q, k, v, gate_logits, mix_logits
+
     def __call__(self, x: jax.Array, rotary_pos_emb: jax.Array | None = None,
                  mask: jax.Array | None = None,
                  value_residual: jax.Array | None = None):
+        """Everything stays in the projection's (b, n, h*dh) packed layout —
+        projection -> rotary -> kernel -> gates -> out-projection with ZERO
+        head split/merge transposes (the lane-packed flash kernels consume
+        this layout directly; the XLA fallback transposes internally at
+        sampling scale where it's cheap). Returned `values` (the raw value
+        heads fed forward as the value residual, e2_tts.py:911-916) are
+        packed too."""
         b, n, _ = x.shape
         h, dh = self.heads, self.dim_head
 
-        split_heads = lambda t: t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
-        q = split_heads(self.to_q(x))
-        k = split_heads(self.to_k(x))
-        v = split_heads(self.to_v(x))
+        q, k, v, gate_logits, mix_logits = self._fused_input_proj(x)
 
-        orig_values = v
+        orig_values = v                                               # (b, n, h*dh)
 
-        if exists(self.to_value_residual_mix) and exists(value_residual):
-            mix = jax.nn.sigmoid(self.to_value_residual_mix(x))       # (b, n, h)
-            mix = mix.transpose(0, 2, 1)[..., None]                   # (b, h, n, 1)
-            v = v * mix + value_residual.astype(v.dtype) * (1.0 - mix)
+        per_head = lambda t, s: (t.reshape(b, n, h, dh) * s[..., None]
+                                 ).reshape(b, n, h * dh)
+        if exists(mix_logits) and exists(value_residual):
+            mix = jax.nn.sigmoid(mix_logits)                          # (b, n, h)
+            v = (per_head(v, mix)
+                 + per_head(value_residual.astype(v.dtype), 1.0 - mix))
 
         if exists(rotary_pos_emb):
-            q = apply_rotary(q, rotary_pos_emb)
-            k = apply_rotary(k, rotary_pos_emb)
+            q = apply_rotary_packed(q, rotary_pos_emb)
+            k = apply_rotary_packed(k, rotary_pos_emb)
 
         training = not self.deterministic and self.dropout_rate > 0.0
         dropout_rng = self.rngs.dropout() if training else None
 
-        out = attention_op(
-            q, k, v, mask,
+        out = attention_packed_op(
+            q, k, v, mask, heads=h,
             softclamp_value=self.softclamp_value,
             laser=self.laser,
             laser_softclamp_value=self.laser_softclamp_value,
@@ -375,9 +433,7 @@ class Attention(nnx.Module):
             backend=self.backend,
         )
 
-        if exists(self.to_v_head_gate):
-            gates = jax.nn.sigmoid(self.to_v_head_gate(x))            # (b, n, h)
-            out = out * gates.transpose(0, 2, 1)[..., None]
+        if exists(gate_logits):
+            out = per_head(out, jax.nn.sigmoid(gate_logits))
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
         return self.to_out(out), orig_values

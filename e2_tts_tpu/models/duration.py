@@ -25,6 +25,7 @@ from e2_tts_tpu.utils.typing import Float, Int, typecheck
 
 class DurationPredictor(nnx.Module):
 
+    @typecheck
     def __init__(
         self,
         transformer: dict | Transformer,

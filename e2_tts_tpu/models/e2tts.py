@@ -95,6 +95,7 @@ class _StaticBox:
 
 class E2TTS(nnx.Module):
 
+    @typecheck
     def __init__(
         self,
         transformer: dict | Transformer | None = None,
@@ -478,6 +479,11 @@ class E2TTS(nnx.Module):
         if self.vocos_backend == 'jax':
             from e2_tts_tpu.vocoder.vocos import _jit_decode
             amp = db_to_amplitude(mels, 1.0, 0.5)
+            # zero frames beyond each sample's length: the batched decode
+            # otherwise feeds other samples' padding into ConvNeXt receptive
+            # fields / ISTFT overlap-add near shorter samples' tails (the
+            # torch path decodes exact-length mels per sample on host)
+            amp = jnp.where(mask[..., None], amp, 0.0)
             wav = _jit_decode(self.vocos, amp)     # (b, (n-1)*hop) on device
             hop = self.vocos.head.hop_length
             lens = np.asarray(jnp.sum(mask, axis=-1))

@@ -118,8 +118,22 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
     def layer_fn(sl, tl, t_hcs, s_hcs, x, text_embed, skip, mask, rotary,
                  text_rotary, freq_rotary, cond, freq_cond,
                  attn_v, text_v, freq_v, text_gate=None):
-        norm_kwargs = dict(condition=cond) if exists(cond) else {}
-        freq_norm_kwargs = dict(condition=freq_cond) if exists(freq_cond) else {}
+        # `cond` is either the raw time embedding (each module projects it
+        # itself) or a dict of THIS layer's pre-projected gamma slices from
+        # the layer-batched conditioning GEMM (_batched_time_cond)
+        if isinstance(cond, dict):
+            attn_norm_kw = dict(gamma_lin=cond['attn_norm'])
+            ff_norm_kw = dict(gamma_lin=cond['ff_norm'])
+            attn_gate_kw = dict(gamma_lin=cond['attn_gate'])
+            ff_gate_kw = dict(gamma_lin=cond['ff_gate'])
+            freq_norm_kw = freq_gate_kw = None   # built at the use site
+        else:
+            norm_kwargs = dict(condition=cond) if exists(cond) else {}
+            attn_norm_kw = ff_norm_kw = norm_kwargs
+            attn_gate_kw = ff_gate_kw = norm_kwargs
+            freq_kwargs = (dict(condition=freq_cond)
+                           if exists(freq_cond) else {})
+            freq_norm_kw = freq_gate_kw = freq_kwargs
 
         # text stream first, then cross-condition (e2_tts.py:853-883).
         # Residuals flow between chained branches as LazyStreams: each
@@ -159,11 +173,11 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
 
         # attention
         b_in, add_residual = attn_hc(x)
-        h = sl.attn_norm(b_in, **norm_kwargs)
+        h = sl.attn_norm(b_in, **attn_norm_kw)
         h = sl.attn_input_fourier_embed(h)
         attn_out, values = sl.attn(
             h, rotary_pos_emb=rotary, mask=mask, value_residual=attn_v)
-        attn_out = sl.attn_adaln_zero(attn_out, **norm_kwargs)
+        attn_out = sl.attn_adaln_zero(attn_out, **attn_gate_kw)
         x = add_residual(attn_out)
         attn_v = default(attn_v, values)
 
@@ -175,10 +189,17 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
             bf, n, d = b_in.shape
             h = b_in.reshape(orig_batch, freq_seq_len, n, d)
             h = h.transpose(0, 2, 1, 3).reshape(orig_batch * n, freq_seq_len, d)
-            h = sl.freq_attn_norm(h, **freq_norm_kwargs)
+            if freq_norm_kw is None:
+                # pre-projected slices are per original batch row: repeat to
+                # the (b n) batch of the frequency attention
+                freq_norm_kw = dict(
+                    gamma_lin=jnp.repeat(cond['freq_norm'], n, axis=0))
+                freq_gate_kw = dict(
+                    gamma_lin=jnp.repeat(cond['freq_gate'], n, axis=0))
+            h = sl.freq_attn_norm(h, **freq_norm_kw)
             f_out, f_values = sl.freq_attn(
                 h, rotary_pos_emb=freq_rotary, value_residual=freq_v)
-            f_out = sl.freq_attn_adaln_zero(f_out, **freq_norm_kwargs)
+            f_out = sl.freq_attn_adaln_zero(f_out, **freq_gate_kw)
             f_out = f_out.reshape(orig_batch, n, freq_seq_len, d)
             f_out = f_out.transpose(0, 2, 1, 3).reshape(bf, n, d)
             x = add_residual(f_out)
@@ -186,8 +207,8 @@ def _make_layer_fn(orig_batch: int, freq_seq_len: int, push_skip: bool,
 
         # feedforward
         b_in, add_residual = ff_hc(x)
-        ff_out = sl.ff(sl.ff_norm(b_in, **norm_kwargs))
-        ff_out = sl.ff_adaln_zero(ff_out, **norm_kwargs)
+        ff_out = sl.ff(sl.ff_norm(b_in, **ff_norm_kw))
+        ff_out = sl.ff_adaln_zero(ff_out, **ff_gate_kw)
         x = add_residual(ff_out)
 
         return materialize(x), text_embed, skip_out, attn_v, text_v, freq_v
@@ -256,6 +277,7 @@ class TransformerLayer(nnx.Module):
 
 class Transformer(nnx.Module):
 
+    @typecheck
     def __init__(
         self,
         *,
@@ -511,10 +533,12 @@ class Transformer(nnx.Module):
 
         # time conditioning (e2_tts.py:778-789)
         norm_kwargs, freq_norm_kwargs = {}, {}
+        times_base = None
         if exists(times):
             if times.ndim == 0:
                 times = jnp.broadcast_to(times, (orig_batch,))
             times = jax.nn.silu(self.time_mlp(self.time_fourier(times))).astype(x.dtype)
+            times_base = times                                        # (b, d)
             if self.has_freq_axis:
                 freq_times = jnp.repeat(times, packed_len, axis=0)   # (b*n, d)
                 freq_norm_kwargs = dict(condition=freq_times)
@@ -549,6 +573,15 @@ class Transformer(nnx.Module):
         text_rot = text_rotary
         freq_rot = freq_rotary
 
+        # layer-batched time conditioning (unrolled path): all per-layer
+        # AdaptiveRMSNorm/AdaLNZero projections share the SAME (b, dim) time
+        # embedding, so 4 x depth separate (b,dim)x(dim,dim) GEMMs collapse
+        # into ONE (b,dim)x(dim, 4*depth*dim) GEMM whose output is sliced per
+        # layer (the dW adjoints batch identically in the backward)
+        cond_packs = None
+        if exists(times_base) and not self.scan_layers:
+            cond_packs = self._batched_time_cond(times_base, freq_seq_len)
+
         if self.scan_layers:
             x, text_embed = self._run_scan(
                 x, text_embed, mask, rotary, text_rot, freq_rot, cond,
@@ -571,11 +604,14 @@ class Transformer(nnx.Module):
 
             skip_in = None if is_first_half else skips.pop()
 
+            layer_cond = cond_packs[ind] if exists(cond_packs) else cond
+            layer_freq_cond = None if exists(cond_packs) else freq_cond
+
             x, text_embed, skip_out, attn_v, text_v, freq_v = layer_fn(
                 self.speech_layers[ind], self.text_layers[ind],
                 self.text_hcs[ind], self.speech_hcs[ind],
                 x, text_embed, skip_in, mask, rotary, text_rot, freq_rot,
-                cond, freq_cond, attn_v, text_v, freq_v, text_gate)
+                layer_cond, layer_freq_cond, attn_v, text_v, freq_v, text_gate)
 
             if is_first_half:
                 skips.append(skip_out)
@@ -590,6 +626,54 @@ class Transformer(nnx.Module):
             x = x.reshape(orig_batch, freq_seq_len, *x.shape[1:])
 
         return self.final_norm(x)
+
+    def _batched_time_cond(self, cond, freq_seq_len=1):
+        """Project the shared time embedding through EVERY layer's
+        conditioning heads in one GEMM (see __call__). Params stay per-module
+        (checkpoint/EMA/TP layouts unchanged); kernels are concatenated at
+        trace time and the (b, total) product sliced back per layer.
+
+        ``cond`` is the PRE-repeat (b, dim) time embedding. Returns a list
+        over depth of dicts with keys ``attn_norm / ff_norm / attn_gate /
+        ff_gate`` (+ ``freq_norm / freq_gate`` with a frequency axis):
+        AdaptiveRMSNorm gammas pre-+1, AdaLNZero logits pre-sigmoid (bias
+        included). Speech slices are repeated to the ((b f), dim) batch of
+        the folded freq layout; freq slices stay (b, dim) — the layer
+        repeats them to its (b n) freq-attention batch."""
+        from flax.nnx.nn.dtypes import promote_dtype
+
+        entries = []   # (layer_ind, key, kernel, bias | None)
+        for ind, sl in enumerate(self.speech_layers):
+            entries.append((ind, 'attn_norm', sl.attn_norm.to_gamma, None))
+            entries.append((ind, 'ff_norm', sl.ff_norm.to_gamma, None))
+            entries.append((ind, 'attn_gate', sl.attn_adaln_zero.to_gamma,
+                            sl.attn_adaln_zero.to_gamma.bias))
+            entries.append((ind, 'ff_gate', sl.ff_adaln_zero.to_gamma,
+                            sl.ff_adaln_zero.to_gamma.bias))
+            if exists(sl.freq_attn_norm):
+                entries.append((ind, 'freq_norm', sl.freq_attn_norm.to_gamma,
+                                None))
+                entries.append((ind, 'freq_gate',
+                                sl.freq_attn_adaln_zero.to_gamma,
+                                sl.freq_attn_adaln_zero.to_gamma.bias))
+
+        kernels = [lin.kernel[...] for _, _, lin, _ in entries]
+        widths = [k.shape[1] for k in kernels]
+        w = jnp.concatenate(kernels, axis=1)
+        cond, w = promote_dtype((cond, w), dtype=entries[0][2].dtype)
+        g = cond @ w   # (b, sum(widths))
+
+        packs = [dict() for _ in range(self.depth)]
+        off = 0
+        for (ind, key, _, bias), width in zip(entries, widths):
+            sl_g = g[:, off:off + width]
+            off += width
+            if exists(bias):
+                sl_g = sl_g + bias[...].astype(sl_g.dtype)
+            if freq_seq_len > 1 and not key.startswith('freq'):
+                sl_g = jnp.repeat(sl_g, freq_seq_len, axis=0)
+            packs[ind][key] = sl_g
+        return packs
 
     def _run_scan(self, x, text_embed, mask, rotary, text_rot, freq_rot,
                   cond, freq_cond, text_gate, orig_batch, freq_seq_len):

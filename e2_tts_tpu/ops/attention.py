@@ -59,9 +59,10 @@ def attention(
     use_pallas = backend == 'pallas' or (
         backend == 'auto'
         and jax.default_backend() == 'tpu'
-        and q.shape[2] >= 128   # kernel pads seq to 128: tiny sequences
-                                # (e.g. freq-axis attention over a handful of
-                                # tokens) would mostly compute padding
+        and q.shape[2] >= 128   # tiny sequences (e.g. freq-axis attention
+                                # over a handful of tokens) under-fill the
+                                # kernel's minimum 8x128 MXU tile and its
+                                # grid; XLA fused attention wins there
         and (q.shape[0] * q.shape[1] >= 64 or q.shape[2] > 2048)
     )
 
@@ -82,6 +83,71 @@ def attention(
             scale=scale, softclamp_value=softclamp_value,
             dropout_rate=dropout_rate, dropout_rng=dropout_rng,
         )
+
+    if laser:
+        out = jnp.log(jnp.clip(out.astype(jnp.float32), min=1e-20))
+
+    return out.astype(q.dtype)
+
+
+def attention_packed(
+    q: jax.Array,                 # (b, n, h*dh) — heads packed in lanes
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,   # (b, n) key padding mask, True = attend
+    *,
+    heads: int,
+    scale: float | None = None,
+    softclamp_value: float | None = 50.0,
+    laser: bool = False,
+    laser_softclamp_value: float = 15.0,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    backend: str = 'auto',
+) -> jax.Array:
+    """`attention` on projection-layout tensors: no head split/merge
+    transposes anywhere on the Pallas path (the lane-packed kernels consume
+    (b, n, h*dh) directly — see ops/flash_attention.py). Shapes the packed
+    kernels can't take, and the XLA fallback, transpose internally."""
+    from e2_tts_tpu.ops.flash_attention import packed_eligible
+
+    b, n, D = q.shape
+    dh = D // heads
+    if not exists(scale):
+        scale = dh ** -0.5
+
+    if laser:
+        v = jnp.exp(softclamp(v.astype(jnp.float32), laser_softclamp_value))
+
+    use_packed = (
+        backend in ('pallas', 'auto')
+        and jax.default_backend() == 'tpu'
+        and packed_eligible(heads, dh)
+        and n >= 128
+        and (b * heads >= 64 or n > 2048)
+    )
+
+    if use_packed:
+        from e2_tts_tpu.ops.flash_attention import flash_attention_packed
+        dropping = dropout_rate > 0.0 and exists(dropout_rng)
+        seed = (jax.random.randint(dropout_rng, (1,), 0,
+                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                if dropping else None)
+        out = flash_attention_packed(
+            q, k, v.astype(q.dtype), mask, heads=heads,
+            scale=scale, softclamp_value=softclamp_value,
+            dropout_rate=dropout_rate if dropping else 0.0,
+            dropout_seed=seed,
+        )
+    else:
+        to_bhnd = lambda t: t.reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
+        out = attention(
+            to_bhnd(q), to_bhnd(k), to_bhnd(v), mask,
+            scale=scale, softclamp_value=softclamp_value, laser=False,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            backend=backend,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, D)
 
     if laser:
         out = jnp.log(jnp.clip(out.astype(jnp.float32), min=1e-20))

@@ -769,6 +769,476 @@ def _flash_bwd(scale, softclamp_value, dropout_rate, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# -- lane-packed (transpose-free) kernels --------------------------------------
+#
+# The (b, n, h, dh) -> (b, h, n, dh) head-split transposes around the kernels
+# above are pure data formatting: at flagship shape they burn ~19 ms/step of
+# HBM bandwidth doing zero FLOPs (8 transposes of 17 MB per attention call,
+# fwd+bwd, x16 calls). These kernels consume q/k/v in the PROJECTION's own
+# layout — (b, n, h*dh), heads contiguous in the lane dimension — so the
+# module runs projection -> kernel -> out-projection with no transposes at
+# all, forward or backward.
+#
+# Per-head math inside a 128-lane tile uses the lane-masking identity: with
+# dh | 128, head hh occupies lanes [hh*dh, (hh+1)*dh) of its tile, and
+#   scores_hh = q_tile @ (k_tile masked to hh's lanes)^T
+# is exact — the zeroed k lanes annihilate the other heads' q lanes in the
+# contraction. MXU cost is unchanged: a dh=64 contraction already half-fills
+# the 128-deep systolic array, so contracting 128 lanes (half zeros) takes
+# the same passes; likewise PV with 64 output lanes occupies a full output
+# tile. The masks are cheap VPU selects on bf16 tiles.
+#
+# Running max / denom / lse keep the (heads, n, 1) SUBLANE layout of the
+# kernels above — per grid step these are (heads_per_block, block, 1) blocks
+# whose dim-0 index rides the global (b*h) head order, which the lane-block
+# grid enumerates contiguously.
+
+
+def packed_eligible(heads: int, dim_head: int) -> bool:
+    """Shapes the lane-packed kernels accept: whole lane tiles of whole
+    heads. Everything else routes to the transposing kernels above."""
+    return (128 % dim_head == 0) and ((heads * dim_head) % 128 == 0)
+
+
+def _packed_lane_mask(shape_rows: int, lo: int, hi: int):
+    """(rows, 128) bf16-friendly lane mask for lanes [lo, hi)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (shape_rows, 128), 1)
+    return (lane >= lo) & (lane < hi)
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
+                       lse_ref, m_scr, l_scr, acc_scr, *, scale,
+                       softclamp_value, dropout_rate, seq_len, dh,
+                       lane_blocks, total_heads):
+    """Grid (b * lane_blocks, nq, nk), kv innermost. Blocks are
+    (1, block, LB) slabs of the packed (b, n, D) arrays; each grid step
+    processes LB // dh heads (all heads living in its lane block)."""
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+    LB = q_ref.shape[2]
+    hpt = 128 // dh                    # heads per 128-lane tile
+    n_tiles = LB // 128
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    bias_row = jnp.transpose(bias_ref[0], (1, 0))        # (1, bk) fp32
+    base = pl.program_id(1) * q_ref.shape[1]             # abs q row 0
+    kbase = kb * k_ref.shape[1]                          # abs k row 0
+    # ragged kv tail: fold column masking into the bias row (NEG_INF => p=0)
+    if seq_len % k_ref.shape[1] != 0:
+        col = kbase + jax.lax.broadcasted_iota(jnp.int32, bias_row.shape, 1)
+        bias_row = jnp.where(col < seq_len, bias_row, NEG_INF)
+
+    q_all = q_ref[0]                                     # (bq, LB)
+    k_all = k_ref[0]                                     # (bk, LB)
+    v_all = v_ref[0]
+    bq, bk = q_all.shape[0], k_all.shape[0]
+    # ragged kv tail: zero garbage k/v rows (k: finite scores; v: PV)
+    if seq_len % bk != 0:
+        k_all = _zero_rows_from(k_all, kbase, seq_len)
+        v_all = _zero_rows_from(v_all, kbase, seq_len)
+
+    # heads handled by this grid step start at this global head index
+    head0 = (pl.program_id(0) % lane_blocks) * (LB // dh)
+    batch = pl.program_id(0) // lane_blocks
+
+    for t in range(n_tiles):
+        sl = slice(128 * t, 128 * (t + 1))
+        q_t = q_all[:, sl]
+        k_t = k_all[:, sl]
+        v_t = v_all[:, sl]
+
+        alpha_lanes = None
+        pv = None
+        for hh in range(hpt):
+            hs = t * hpt + hh                            # head slot in block
+            lo, hi = hh * dh, (hh + 1) * dh
+            k_h = jnp.where(_packed_lane_mask(bk, lo, hi), k_t, 0)
+
+            s = jax.lax.dot_general(
+                q_t, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale     # (bq, bk)
+
+            if exists(softclamp_value):
+                s = jnp.tanh(s / softclamp_value) * softclamp_value
+            s = s + bias_row
+
+            m_prev = m_scr[hs][:, 0]
+            l_prev = l_scr[hs][:, 0]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+            p = jnp.exp(s - m_new[:, None])
+            alpha = jnp.exp(m_prev - m_new)
+            l_scr[hs] = (l_prev * alpha + p.sum(axis=-1))[:, None]
+            m_scr[hs] = m_new[:, None]
+
+            if dropout_rate > 0.0:
+                keep = _keep_tile(
+                    seed_ref[0].astype(jnp.uint32),
+                    (batch * total_heads + head0 + hs).astype(jnp.uint32),
+                    base.astype(jnp.uint32), kbase.astype(jnp.uint32),
+                    bq, bk, dropout_rate)
+                p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+
+            v_h = jnp.where(_packed_lane_mask(bk, lo, hi), v_t, 0)
+            contrib = jax.lax.dot_general(
+                p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bq, 128)
+            pv = contrib if pv is None else pv + contrib
+
+            a_col = alpha[:, None]                       # (bq, 1)
+            mask_l = _packed_lane_mask(bq, lo, hi)
+            alpha_lanes = (jnp.where(mask_l, a_col, 0.0) if alpha_lanes is None
+                           else jnp.where(mask_l, a_col, alpha_lanes))
+
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha_lanes + pv
+
+    @pl.when(kb == num_kb - 1)
+    def _finalise():
+        bq = q_ref.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, LB), 1)
+        recip = jnp.zeros((bq, LB), jnp.float32)
+        for t in range(n_tiles):
+            for hh in range(hpt):
+                hs = t * hpt + hh
+                l_fin = jnp.clip(l_scr[hs][:, 0], min=1e-30)
+                lse_ref[hs] = (m_scr[hs][:, 0] + jnp.log(l_fin))[:, None]
+                lo, hi = 128 * t + hh * dh, 128 * t + (hh + 1) * dh
+                recip = jnp.where((lane >= lo) & (lane < hi),
+                                  (1.0 / l_fin)[:, None], recip)
+        o_ref[0] = (acc_scr[...] * recip).astype(o_ref.dtype)
+
+
+def _packed_choose(n: int, D: int, dh: int, dropping: bool, backward: bool):
+    """(block, LB): sequence block from the divisor set (`_blocks`), lane
+    block LB a multiple-of-128 divisor of D — largest combo whose VMEM
+    footprint fits. The dominant term is the per-head fp32 score temporaries,
+    stack-allocated per unrolled head WITHOUT reuse (see `_bh_group`)."""
+    budget = 13 * 2 ** 20
+    per_head = (28 if backward else 8) + (8 if dropping else 0)
+    blk0, _ = _blocks(n)
+    # shrink path: smaller divisor blocks of n (exact tilings), then 128
+    blocks = [blk0] + [bb for bb in range(blk0 - 8, 127, -8)
+                       if n % bb == 0] + ([128] if blk0 != 128 else [])
+    for block in blocks:
+        n_pad = -(-n // block) * block
+        for LB in (512, 384, 256, 128):
+            if LB > D or D % LB:
+                continue
+            H_blk = LB // dh
+            scores = H_blk * block * block * per_head
+            if backward:
+                fixed = n_pad * LB * 4 + 2 * block * LB * 4 \
+                    + (2 * block + 2 * block) * LB * 2 * 2
+            else:
+                fixed = block * LB * 4 + (block + 2 * block) * LB * 2 * 2
+            if scores + fixed <= budget:
+                return block, LB
+    return blocks[-1], 128
+
+
+def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
+                          dropout_rate):
+    b, n, D = q.shape
+    dh = D // heads
+    block, LB = _packed_choose(n, D, dh, dropout_rate > 0.0, backward=False)
+    NL = D // LB                     # lane blocks
+    H_blk = LB // dh                 # heads per grid step
+
+    bias3 = bias[:, :, None]         # (b, n, 1) sublane
+    grid = (b * NL, -(-n // block), -(-n // block))
+
+    out, lse = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=scale,
+                          softclamp_value=softclamp_value,
+                          dropout_rate=dropout_rate, seq_len=n, dh=dh,
+                          lane_blocks=NL, total_heads=heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block, LB), lambda i, j, kb: (i // NL, j, i % NL),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, LB), lambda i, j, kb: (i // NL, kb, i % NL),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, LB), lambda i, j, kb: (i // NL, kb, i % NL),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, 1), lambda i, j, kb: (i // NL, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # dropout seed (1,)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, LB), lambda i, j, kb: (i // NL, j, i % NL),
+                         memory_space=pltpu.VMEM),
+            # (b*h, n, 1) sublane lse: the lane-block grid walks global heads
+            # contiguously, H_blk per step
+            pl.BlockSpec((H_blk, block, 1), lambda i, j, kb: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, D), q.dtype),
+            jax.ShapeDtypeStruct((b * heads, n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H_blk, block, 1), jnp.float32),    # running max
+            pltpu.VMEM((H_blk, block, 1), jnp.float32),    # running denom
+            pltpu.VMEM((block, LB), jnp.float32),          # accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=_INTERPRET,
+    )(q, k, v, bias3, seed)
+
+    return out, lse
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
+                       delta_ref, seed_ref, dq_ref, dk_ref, dv_ref,
+                       dq_scr, dk_scr, dv_scr, *, scale, softclamp_value,
+                       dropout_rate, seq_len, dh, lane_blocks, total_heads):
+    """Merged packed backward — grid (b * lane_blocks, nk, nq), q innermost.
+    dk/dv accumulate in per-kv-block scratch; dq in a whole-sequence
+    (n_pad, LB) fp32 scratch flushed on the last grid step (same scheme as
+    `_bwd_merged_kernel`). Per-head math uses the lane-masking identities:
+    scores/dq mask k, dk masks q, dv masks do — each contraction sees
+    exactly one head's lanes."""
+    kb = pl.program_id(1)
+    qb = pl.program_id(2)
+    num_kb = pl.num_programs(1)
+    num_qb = pl.num_programs(2)
+    LB = q_ref.shape[2]
+    hpt = 128 // dh
+    n_tiles = LB // 128
+    block_q = q_ref.shape[1]
+    block_k = k_ref.shape[1]
+
+    @pl.when((kb == 0) & (qb == 0))
+    def _init_dq():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    @pl.when(qb == 0)
+    def _init_dkv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    bias_row = jnp.transpose(bias_ref[0], (1, 0))        # (1, bk)
+    qbase = qb * block_q
+    kbase = kb * block_k
+
+    q_all = q_ref[0]
+    do_all = do_ref[0]
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    if seq_len % block_k != 0:
+        col = kbase + jax.lax.broadcasted_iota(jnp.int32, bias_row.shape, 1)
+        bias_row = jnp.where(col < seq_len, bias_row, NEG_INF)
+        k_all = _zero_rows_from(k_all, kbase, seq_len)
+        v_all = _zero_rows_from(v_all, kbase, seq_len)
+    ragged_q = seq_len % block_q != 0
+    if ragged_q:
+        q_all = _zero_rows_from(q_all, qbase, seq_len)
+        do_all = _zero_rows_from(do_all, qbase, seq_len)
+
+    head0 = (pl.program_id(0) % lane_blocks) * (LB // dh)
+    batch = pl.program_id(0) // lane_blocks
+
+    for t in range(n_tiles):
+        sl = slice(128 * t, 128 * (t + 1))
+        q_t, k_t, v_t, do_t = (q_all[:, sl], k_all[:, sl], v_all[:, sl],
+                               do_all[:, sl])
+        dq_tile = None
+        dk_tile = None
+        dv_tile = None
+        for hh in range(hpt):
+            hs = t * hpt + hh
+            lo, hi = hh * dh, (hh + 1) * dh
+            kmask = _packed_lane_mask(block_k, lo, hi)
+            qmask = _packed_lane_mask(block_q, lo, hi)
+            k_h = jnp.where(kmask, k_t, 0)
+            v_h = jnp.where(kmask, v_t, 0)
+            q_h = jnp.where(qmask, q_t, 0)
+            do_h = jnp.where(qmask, do_t, 0)
+
+            lse_col = lse_ref[hs]                        # (bq, 1)
+            delta_col = delta_ref[hs]
+            if ragged_q:
+                row = qbase + jax.lax.broadcasted_iota(
+                    jnp.int32, lse_col.shape, 0)
+                lse_col = jnp.where(row < seq_len, lse_col, -NEG_INF)
+                delta_col = jnp.where(row < seq_len, delta_col, 0.0)
+
+            keep_scaled = _bwd_keep_scaled(
+                seed_ref,
+                batch * total_heads + head0 + hs,
+                qb, kb, block_q, block_k, dropout_rate)
+            # q_t (not q_h) is fine for scores: k_h's zero lanes annihilate
+            # the other heads' q lanes in the contraction
+            p, ds = _recompute_p_ds(
+                q_t, k_h, bias_row, lse_col, do_t, v_h, delta_col,
+                keep_scaled, scale=scale, softclamp_value=softclamp_value)
+
+            c_dv = jax.lax.dot_general(
+                p.astype(do_h.dtype), do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (bk, 128)
+            dv_tile = c_dv if dv_tile is None else dv_tile + c_dv
+            c_dk = jax.lax.dot_general(
+                ds.astype(q_h.dtype), q_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_tile = c_dk if dk_tile is None else dk_tile + c_dk
+            c_dq = jax.lax.dot_general(
+                ds.astype(k_h.dtype), k_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (bq, 128)
+            dq_tile = c_dq if dq_tile is None else dq_tile + c_dq
+
+        dk_scr[:, sl] += dk_tile
+        dv_scr[:, sl] += dv_tile
+        qsl = pl.ds(qb * block_q, block_q)
+        dq_scr[qsl, sl] += dq_tile
+
+    @pl.when(qb == num_qb - 1)
+    def _flush_dkv():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+    @pl.when((kb == num_kb - 1) & (qb == num_qb - 1))
+    def _flush_dq():
+        dq_ref[0] = dq_scr[:seq_len].astype(dq_ref.dtype)
+
+
+def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
+                           softclamp_value, dropout_rate):
+    b, n, D = q.shape
+    dh = D // heads
+    block, LB = _packed_choose(n, D, dh, dropout_rate > 0.0, backward=True)
+    NL = D // LB
+    H_blk = LB // dh
+
+    bias3 = bias[:, :, None]
+    # delta = rowsum(do * o) per head, in the (b*h, n, 1) sublane layout —
+    # a segmented lane reduction XLA fuses with the surrounding elementwise
+    prod = (g.astype(jnp.float32) * o.astype(jnp.float32))   # (b, n, D)
+    delta = prod.reshape(b, n, heads, dh).sum(-1)            # (b, n, h)
+    delta = delta.transpose(0, 2, 1).reshape(b * heads, n, 1)
+
+    nq_blocks = -(-n // block)
+    nk_blocks = -(-n // block)
+    n_pad = nq_blocks * block
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale,
+                          softclamp_value=softclamp_value,
+                          dropout_rate=dropout_rate, seq_len=n, dh=dh,
+                          lane_blocks=NL, total_heads=heads),
+        grid=(b * NL, nk_blocks, nq_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, qb, i % NL),
+                         memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, j, i % NL),
+                         memory_space=pltpu.VMEM),   # k
+            pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, j, i % NL),
+                         memory_space=pltpu.VMEM),   # v
+            pl.BlockSpec((1, block, 1), lambda i, j, qb: (i // NL, j, 0),
+                         memory_space=pltpu.VMEM),   # bias
+            pl.BlockSpec((H_blk, block, 1), lambda i, j, qb: (i, qb, 0),
+                         memory_space=pltpu.VMEM),   # lse
+            pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, qb, i % NL),
+                         memory_space=pltpu.VMEM),   # do
+            pl.BlockSpec((H_blk, block, 1), lambda i, j, qb: (i, qb, 0),
+                         memory_space=pltpu.VMEM),   # delta
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed (1,)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, LB), lambda i, j, qb: (i // NL, 0, i % NL),
+                         memory_space=pltpu.VMEM),   # dq (whole seq)
+            pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, j, i % NL),
+                         memory_space=pltpu.VMEM),   # dk
+            pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, j, i % NL),
+                         memory_space=pltpu.VMEM),   # dv
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, D), q.dtype),
+            jax.ShapeDtypeStruct((b, n, D), k.dtype),
+            jax.ShapeDtypeStruct((b, n, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, LB), jnp.float32),
+            pltpu.VMEM((block, LB), jnp.float32),
+            pltpu.VMEM((block, LB), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+        interpret=_INTERPRET,
+    )(q, k, v, bias3, lse, g, delta, seed)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_packed(q, k, v, bias, seed, heads, scale, softclamp_value,
+                  dropout_rate):
+    out, _ = _flash_packed_forward(q, k, v, bias, seed, heads, scale,
+                                   softclamp_value, dropout_rate)
+    return out
+
+
+def _flash_packed_fwd(q, k, v, bias, seed, heads, scale, softclamp_value,
+                      dropout_rate):
+    out, lse = _flash_packed_forward(q, k, v, bias, seed, heads, scale,
+                                     softclamp_value, dropout_rate)
+    return out, (q, k, v, bias, seed, out, lse)
+
+
+def _flash_packed_bwd(heads, scale, softclamp_value, dropout_rate, res, g):
+    q, k, v, bias, seed, o, lse = res
+    dq, dk, dv = _flash_packed_backward(q, k, v, bias, seed, o, lse, g,
+                                        heads, scale, softclamp_value,
+                                        dropout_rate)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, jnp.zeros_like(bias), dseed
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_packed(
+    q: jax.Array,                    # (b, n, h*dh) — heads packed in lanes
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,   # (b, n) key padding, True = attend
+    *,
+    heads: int,
+    scale: float | None = None,
+    softclamp_value: float | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | int | None = None,
+) -> jax.Array:
+    """Transpose-free flash attention on projection-layout tensors.
+    Semantically identical to `flash_attention` on the (b, h, n, dh)
+    reshape/transpose of the same data (same dropout bits per global head
+    index). Requires `packed_eligible(heads, dim_head)`."""
+    b, n, D = q.shape
+    dh = D // heads
+    assert packed_eligible(heads, dh), (heads, dh)
+    if scale is None:
+        scale = dh ** -0.5
+
+    if exists(mask):
+        bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((b, n), dtype=jnp.float32)
+
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0:
+        assert dropout_rate < 1.0
+        assert exists(dropout_seed), 'dropout_rate > 0 requires dropout_seed'
+        seed = jnp.asarray(dropout_seed, dtype=jnp.int32).reshape((1,))
+    else:
+        seed = jnp.zeros((1,), dtype=jnp.int32)
+
+    return _flash_packed(q, k, v, bias, seed, heads, scale, softclamp_value,
+                         dropout_rate)
+
+
 def flash_attention(
     q: jax.Array,                    # (b, h, n, dh)
     k: jax.Array,

@@ -165,20 +165,30 @@ def _adaptive_interval(fn, t0, t1, y0, tab: _Tableau, atol, rtol):
         h = jnp.minimum(h, t1 - t)
         y_new, err = rk_step(t, y, h)
         ratio = err_norm(err, y, y_new)
-        accept = ratio <= 1.0
+        # a NaN/inf error estimate (fn blew up) must reject the step AND
+        # keep the controller state finite — otherwise h goes NaN and every
+        # later step is silently rejected until the cap
+        finite = jnp.isfinite(ratio)
+        accept = finite & (ratio <= 1.0)
 
         factor = jnp.where(
             ratio <= 1e-10, 10.0,
             jnp.clip(0.9 * ratio ** (-1.0 / (tab.order + 1.0)), 0.2, 10.0))
+        factor = jnp.where(finite, factor, 0.2)
         h_next = h * factor
 
         t = jnp.where(accept, t + h, t)
         y = jnp.where(accept, y_new, y)
         return t, y, h_next, n + 1
 
-    _, y_fin, _, _ = jax.lax.while_loop(
+    t_fin, y_fin, _, n_fin = jax.lax.while_loop(
         cond, body, (t0.astype(jnp.float32), yf32, h0.astype(jnp.float32),
                      jnp.zeros((), jnp.int32)))
+    # torchdiffeq raises on max-steps/underflow; under jit the traced
+    # equivalent is NaN-filling the result so truncation is visible to the
+    # caller instead of returning a silently partial solution
+    saturated = (n_fin >= _MAX_ADAPTIVE_STEPS) & (t_fin < t1 - 1e-9)
+    y_fin = jnp.where(saturated, jnp.nan, y_fin)
     return y_fin.astype(y0.dtype)
 
 
@@ -190,17 +200,20 @@ def _odeint_adaptive(fn, y0, t, *, tableau, atol, rtol, return_trajectory):
     t = t.astype(jnp.float32)
     # integrate grid-interval by grid-interval so the solution is available
     # at every requested t (torchdiffeq uses dense-output interpolation; a
-    # forced step at grid points is equivalent up to solver tolerance)
-    ys = []
-    y = y0
-    for i in range(t.shape[0] - 1):
-        y = _adaptive_interval(fn, t[i], t[i + 1], y, tab, atol, rtol)
-        if return_trajectory:
-            ys.append(y)
+    # forced step at grid points is equivalent up to solver tolerance).
+    # One `lax.scan` over the intervals (while_loop inside the body): the
+    # interval integrator traces ONCE regardless of grid size — a 32-point
+    # grid previously traced 31 separate while_loops
+    t_pairs = jnp.stack((t[:-1], t[1:]), axis=-1)   # (steps-1, 2)
 
+    def scan_body(y, t01):
+        y_next = _adaptive_interval(fn, t01[0], t01[1], y, tab, atol, rtol)
+        return y_next, (y_next if return_trajectory else None)
+
+    y_final, ys = jax.lax.scan(scan_body, y0, t_pairs)
     if return_trajectory:
-        return jnp.stack([y0, *ys], axis=0)
-    return y
+        return jnp.concatenate((y0[None], ys), axis=0)
+    return y_final
 
 
 def odeint(

@@ -36,6 +36,21 @@ def apply_rotary(t: jax.Array, freqs: jax.Array) -> jax.Array:
     return out.astype(dtype)
 
 
+def apply_rotary_packed(t: jax.Array, freqs: jax.Array) -> jax.Array:
+    """RoPE on projection-layout ``t (b, n, h*dh)`` (heads packed in the
+    last dim) given ``freqs (n, dh/2)``. Pure elementwise after two free
+    reshapes — fuses with the surrounding projection slices under XLA, so
+    the packed attention path never materialises a head-split transpose."""
+    b, n, D = t.shape
+    dh = 2 * freqs.shape[-1]
+    t4 = t.reshape(b, n, D // dh, dh).astype(jnp.float32)
+    emb = jnp.concatenate((freqs, freqs), axis=-1)        # (n, dh)
+    cos = jnp.cos(emb)[None, :, None, :]
+    sin = jnp.sin(emb)[None, :, None, :]
+    out = t4 * cos + _rotate_half(t4) * sin
+    return out.reshape(b, n, D).astype(t.dtype)
+
+
 class RotaryEmbedding:
     """Thin stateless holder mirroring the reference's
     `RotaryEmbedding.forward_from_seq_len` API (e2_tts.py:793)."""

@@ -61,7 +61,11 @@ def load_checkpoint(path: str, *, model, optimizer=None, ema=None,
     """Restore in place; returns (step, key) — (0, None) if no checkpoint,
     key None if the checkpoint predates key saving."""
     path = os.path.abspath(path)
-    if not os.path.exists(path):
+    # an existing-but-EMPTY directory (e.g. freshly mkdir'd by the user) is
+    # "no checkpoint yet", not a corrupt checkpoint — auto-resume at train
+    # start must not crash on it. A non-empty dir without valid orbax
+    # structure still raises (possible partial/corrupt state).
+    if not os.path.exists(path) or not os.listdir(path):
         return 0, None
 
     ckptr = ocp.PyTreeCheckpointer()

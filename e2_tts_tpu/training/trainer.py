@@ -322,6 +322,12 @@ class E2Trainer:
                 pass
 
             for batch in batches:
+                if batch['mel'].shape[1] != model.num_channels:
+                    raise ValueError(
+                        f"batch mel has {batch['mel'].shape[1]} channels, "
+                        f'model expects {model.num_channels}. Dataset items '
+                        f'must be (channels, frames) mel spectrograms '
+                        f'(reference convention) — transposed input?')
                 mel = np.ascontiguousarray(np.moveaxis(batch['mel'], 1, 2))  # b n d
                 mel_lens = batch['mel_lengths']
                 text_ids = self.model.tokenizer(batch['text'])

@@ -21,6 +21,11 @@ def lens_to_mask(lens: jax.Array, length: int | None = None) -> jax.Array:
     which only works outside of tracing.
     """
     if not exists(length):
+        if isinstance(lens, jax.core.Tracer):
+            raise ValueError(
+                'lens_to_mask: `length` defaults to int(lens.max()), which is '
+                'data-dependent and unavailable under jit — pass a static '
+                '`length=` when calling from traced code.')
         length = int(lens.max())
 
     seq = jnp.arange(length, dtype=lens.dtype)

@@ -177,7 +177,10 @@ class ISTFTHead(nnx.Module):
     def __call__(self, h):   # (b, n, dim) -> (b, (n-1)*hop)
         x = self.out(h).astype(jnp.float32)
         half = self.n_fft // 2 + 1
-        mag = jnp.exp(jnp.clip(x[..., :half], max=1e2))
+        # clamp AFTER exp like the reference (`torch.clip(torch.exp(x),
+        # max=1e2)`): bounds the magnitude itself at 1e2; even an fp32
+        # overflow to inf clamps back to 1e2 instead of propagating
+        mag = jnp.minimum(jnp.exp(x[..., :half]), 1e2)
         p = x[..., half:]
         return istft(mag * jnp.cos(p), mag * jnp.sin(p), self.window[...],
                      self.n_fft, self.hop_length)

@@ -170,7 +170,7 @@ def test_attention_basic(laser):
     mask = jnp.array([[True] * 4 + [False] * 2, [True] * 6])
     out, values = attn(x, mask=mask)
     assert out.shape == (2, 6, 32)
-    assert values.shape == (2, 4, 6, 8)
+    assert values.shape == (2, 6, 32)   # packed (b, n, h*dh) value residual
     assert np.isfinite(np.asarray(out)).all()
     # masked keys do not affect unmasked query outputs
     x2 = x.at[0, 4:].set(7.0)
@@ -183,7 +183,7 @@ def test_attention_value_residual_mix():
                      backend='xla', rngs=rngs())
     attn.eval()
     x = jax.random.normal(jax.random.key(0), (2, 6, 32))
-    v_res = jax.random.normal(jax.random.key(1), (2, 4, 6, 8))
+    v_res = jax.random.normal(jax.random.key(1), (2, 6, 32))   # packed layout
     out, values = attn(x, value_residual=v_res)
     assert out.shape == (2, 6, 32)
     # returned values are the raw ones (pre-mix): independent of v_res

@@ -196,3 +196,87 @@ def test_flash_bf16():
                          softclamp_value=50.0, dropout_rate=0.0, dropout_rng=None)
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref, dtype=np.float32), atol=3e-2)
+
+
+# -- lane-packed (transpose-free) kernels -------------------------------------
+
+def make_packed(b=2, h=8, n=256, dh=64, seed=0):
+    D = h * dh
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return (jax.random.normal(ks[0], (b, n, D)),
+            jax.random.normal(ks[1], (b, n, D)),
+            jax.random.normal(ks[2], (b, n, D)))
+
+
+@pytest.mark.parametrize('b,h,n,dh,rate,softclamp', [
+    (2, 8, 256, 64, 0.0, 50.0),     # flagship head geometry
+    (2, 8, 256, 64, 0.3, 50.0),     # in-kernel dropout: same bits per head
+    (2, 8, 200, 64, 0.0, 50.0),     # ragged tail (no divisor block >= 128)
+    (1, 4, 256, 32, 0.0, 50.0),     # 4 heads per lane tile, D=128
+    (2, 4, 256, 64, 0.0, None),     # D=256, no softclamp
+])
+def test_packed_matches_bhnd_kernel(b, h, n, dh, rate, softclamp):
+    """The packed kernel must match the (b, h, n, dh) kernel bit-for-bit in
+    semantics — INCLUDING the dropout mask, which is a pure function of the
+    global head index that both layouts share."""
+    D = h * dh
+    qp, kp, vp = make_packed(b, h, n, dh)
+    mask = jnp.asarray(np.random.default_rng(1).random((b, n)) > 0.2)
+    mask = mask.at[:, 0].set(True)
+    to_bhnd = lambda t: t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    kw = dict(softclamp_value=softclamp, dropout_rate=rate,
+              dropout_seed=42 if rate else None)
+
+    def loss_packed(q, k, v):
+        o = fa.flash_attention_packed(q, k, v, mask, heads=h, **kw)
+        return (o.astype(jnp.float32) ** 2).sum(), o
+
+    def loss_ref(q, k, v):
+        o = fa.flash_attention(to_bhnd(q), to_bhnd(k), to_bhnd(v), mask, **kw)
+        return ((o.astype(jnp.float32) ** 2).sum(),
+                o.transpose(0, 2, 1, 3).reshape(b, n, D))
+
+    (_, op), gp = jax.value_and_grad(loss_packed, argnums=(0, 1, 2),
+                                     has_aux=True)(qp, kp, vp)
+    (_, oref), gref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2),
+                                         has_aux=True)(qp, kp, vp)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(oref), atol=1e-5)
+    for a, r in zip(gp, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-4)
+
+
+def test_packed_eligibility():
+    assert fa.packed_eligible(8, 64)     # flagship speech attention
+    assert fa.packed_eligible(4, 32)
+    assert not fa.packed_eligible(2, 32)     # D=64 < 128
+    assert not fa.packed_eligible(8, 48)     # 48 does not divide 128
+    assert fa.packed_eligible(2, 64)
+
+
+def test_attention_packed_fallback_matches_attention():
+    """On CPU (no TPU backend) attention_packed transposes internally and
+    must equal the bhnd op exactly, laser included."""
+    from e2_tts_tpu.ops.attention import attention_packed
+    b, h, n, dh = 2, 2, 64, 32
+    D = h * dh
+    qp, kp, vp = make_packed(b, h, n, dh)
+    to_bhnd = lambda t: t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    for laser in (False, True):
+        ref = attention(to_bhnd(qp), to_bhnd(kp), to_bhnd(vp), None,
+                        laser=laser)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, n, D)
+        out = attention_packed(qp, kp, vp, None, heads=h, laser=laser)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_apply_rotary_packed_matches_bhnd():
+    from e2_tts_tpu.ops.rotary import (apply_rotary, apply_rotary_packed,
+                                       rotary_freqs)
+    b, h, n, dh = 2, 4, 64, 32
+    D = h * dh
+    t = jax.random.normal(jax.random.key(0), (b, n, D))
+    fr = rotary_freqs(n, dh)
+    ref = apply_rotary(t.reshape(b, n, h, dh).transpose(0, 2, 1, 3), fr)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, n, D)
+    np.testing.assert_allclose(np.asarray(apply_rotary_packed(t, fr)),
+                               np.asarray(ref), atol=0)

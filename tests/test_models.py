@@ -112,6 +112,31 @@ def test_odeint_adaptive_jit_and_trajectory():
     np.testing.assert_allclose(np.asarray(traj[0]), np.ones(3))
 
 
+def test_odeint_adaptive_nan_fn_surfaces_as_nan():
+    """A NaN-producing vector field must NOT return a silently partial
+    solution: the controller rejects to the step cap and the result is
+    NaN-filled (torchdiffeq raises; this is the traced equivalent)."""
+    fn = lambda t, y: jnp.where(t > 0.5, jnp.nan, -y)
+    out = odeint(fn, jnp.ones((3,)), jnp.linspace(0, 1, 3), method='bosh3')
+    assert bool(jnp.isnan(out).all())
+
+
+def test_odeint_adaptive_traces_one_interval_loop():
+    """The trajectory path scans over grid intervals: jaxpr size must not
+    grow with the number of grid points (round-2 weakness: 31 separately
+    traced while_loops at steps=32)."""
+    fn = lambda t, y: -y
+    y0 = jnp.ones((3,))
+    n_eqns = []
+    for steps in (4, 32):
+        t = jnp.linspace(0, 1, steps)
+        jaxpr = jax.make_jaxpr(
+            lambda y0: odeint(fn, y0, t, method='dopri5',
+                              return_trajectory=True))(y0)
+        n_eqns.append(len(jaxpr.jaxpr.eqns))
+    assert n_eqns[0] == n_eqns[1]
+
+
 # -- batched CFG ---------------------------------------------------------------
 
 def test_cfg_batched_matches_sequential():

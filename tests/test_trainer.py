@@ -190,6 +190,15 @@ def test_load_checkpoint_missing_returns_zero(tmp_path):
     assert load_checkpoint(str(tmp_path / 'nope'), model=model) == (0, None)
 
 
+def test_load_checkpoint_empty_dir_returns_zero(tmp_path):
+    """An existing-but-empty checkpoint dir (user mkdir'd / mkdtemp'd it)
+    is 'no checkpoint yet': auto-resume at train start must not crash."""
+    model = small_e2tts()
+    empty = tmp_path / 'ckpt'
+    empty.mkdir()
+    assert load_checkpoint(str(empty), model=model) == (0, None)
+
+
 # -- end-to-end trainer on the 8-device mesh ---------------------------------
 
 def _toy_dataset(n=16, frames=32):

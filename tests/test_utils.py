@@ -36,6 +36,10 @@ def test_lens_to_mask():
     # default length = max len (eager only)
     assert lens_to_mask(lens).shape == (3, 5)
 
+    # under jit the default is data-dependent: explicit, actionable error
+    with pytest.raises(ValueError, match='static `length='):
+        jax.jit(lens_to_mask)(lens)
+
 
 def test_mask_from_start_end_indices():
     start = jnp.array([1, 0])

@@ -83,7 +83,7 @@ class _TorchVocos(torch.nn.Module):
         x = self.backbone.final_layer_norm(x.transpose(1, 2))
         x = self.head.out(x)
         half = self.n_fft // 2 + 1
-        mag = torch.exp(x[..., :half].clamp(max=1e2))
+        mag = torch.clip(torch.exp(x[..., :half]), max=1e2)
         p = x[..., half:]
         spec = torch.complex(mag * torch.cos(p), mag * torch.sin(p))
         win = torch.hann_window(self.n_fft)
@@ -113,6 +113,39 @@ def test_vocos_matches_torch_mirror():
     assert ours.shape == tuple(ref.shape)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_vocos_golden_fixture():
+    """Committed golden (tests/fixtures/vocos_golden.npz): numpy-seeded
+    torch-mirror weights + fixed mel -> waveform. Catches
+    `load_torch_state_dict` key-map or ISTFT drift without needing torch
+    (or the unpublished charactr/vocos-mel-24khz checkpoint) at test time.
+    Regenerate via the script in the fixture's git history if the
+    architecture legitimately changes."""
+    import pathlib
+    data = np.load(pathlib.Path(__file__).parent / 'fixtures'
+                   / 'vocos_golden.npz')
+    sd = {k[3:]: data[k] for k in data.files if k.startswith('sd.')}
+    jm = Vocos(input_channels=10, dim=32, intermediate_dim=96, num_layers=2,
+               n_fft=64, hop_length=16, rngs=nnx.Rngs(0))
+    jm.load_torch_state_dict(sd)
+    ours = jm.decode(jnp.asarray(data['mel']))
+    np.testing.assert_allclose(np.asarray(ours), data['wav'],
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_istft_head_clamps_magnitude_after_exp():
+    """Reference clamps the magnitude AFTER exp (`clip(exp(x), max=1e2)`):
+    a huge log-magnitude must produce |mag| <= 1e2 — finite audio — not
+    exp(1e2) = inf (the bug ADVICE r2 flagged)."""
+    head = ISTFTHead(dim=8, n_fft=64, hop_length=16, rngs=nnx.Rngs(0))
+    head.out.kernel[...] = jnp.zeros_like(head.out.kernel[...])
+    head.out.bias[...] = jnp.full_like(head.out.bias[...], 500.0)  # log-mag 500
+    wav = head(jnp.ones((1, 9, 8)))
+    assert bool(jnp.isfinite(wav).all())
+    # window-normalised overlap-add of constant-phase frames with mag 1e2
+    # stays bounded by ~n_fft * 1e2; inf would have propagated otherwise
+    assert float(jnp.abs(wav).max()) < 1e5
 
 
 def test_vocos_decode_shape_and_jit():
