@@ -36,19 +36,42 @@ def apply_rotary(t: jax.Array, freqs: jax.Array) -> jax.Array:
     return out.astype(dtype)
 
 
+def _rotate_half_matrix(dh: int, heads: int) -> jax.Array:
+    """Block-diagonal (h*dh, h*dh) ±1 matrix R with ``x @ R`` = per-head
+    rotate_half on packed (b, n, h*dh) tensors. R[i+dh/2, i] = -1 and
+    R[i, i+dh/2] = +1 within each head block (so R^T = -R). Constant under
+    jit; bf16 entries keep the product exact (each output is ±one input)."""
+    half = dh // 2
+    r = np.zeros((dh, dh), dtype=np.float32)
+    i = np.arange(half)
+    r[i + half, i] = -1.0
+    r[i, i + half] = 1.0
+    big = np.kron(np.eye(heads, dtype=np.float32), r)
+    return jnp.asarray(big, dtype=jnp.bfloat16)
+
+
 def apply_rotary_packed(t: jax.Array, freqs: jax.Array) -> jax.Array:
     """RoPE on projection-layout ``t (b, n, h*dh)`` (heads packed in the
-    last dim) given ``freqs (n, dh/2)``. Pure elementwise after two free
-    reshapes — fuses with the surrounding projection slices under XLA, so
-    the packed attention path never materialises a head-split transpose."""
+    last dim) given ``freqs (n, dh/2)``.
+
+    rotate_half is expressed as one (D, D) block-diagonal ±1 matmul
+    (``t @ R``) instead of a 4-D reshape/slice/concat: the head-split
+    reshape forces XLA into {1,3,2,0} layouts with full-tensor f32 layout
+    copies around every q/k (~22 ms/step measured at flagship shape),
+    while the matmul form stays in the packed 3-D layout, rides the MXU
+    (~0.05 ms at (16896, 512)), and lets the cos/sin elementwise fuse
+    into the surrounding projections. The product ``t @ R`` is exact in
+    bf16 (each output element is ±one input element)."""
     b, n, D = t.shape
     dh = 2 * freqs.shape[-1]
-    t4 = t.reshape(b, n, D // dh, dh).astype(jnp.float32)
     emb = jnp.concatenate((freqs, freqs), axis=-1)        # (n, dh)
-    cos = jnp.cos(emb)[None, :, None, :]
-    sin = jnp.sin(emb)[None, :, None, :]
-    out = t4 * cos + _rotate_half(t4) * sin
-    return out.reshape(b, n, D).astype(t.dtype)
+    cos = jnp.tile(jnp.cos(emb), (1, D // dh))[None]      # (1, n, D) f32
+    sin = jnp.tile(jnp.sin(emb), (1, D // dh))[None]
+    rot = jax.lax.dot_general(
+        t, _rotate_half_matrix(dh, D // dh).astype(t.dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    out = t.astype(jnp.float32) * cos + rot * sin
+    return out.astype(t.dtype)
 
 
 class RotaryEmbedding:
