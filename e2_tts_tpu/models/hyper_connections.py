@@ -112,29 +112,25 @@ class HyperConnection(nnx.Module):
         # width connection: one fused VMEM pass on TPU (Pallas); the pure-XLA
         # reference path everywhere else. Both share the same math
         # (ops/hyper_conn_kernel.py); norm stats in fp32, streams in compute
-        # dtype — the mix is bandwidth-bound.
+        # dtype — the mix is bandwidth-bound. The kernel emits the branch
+        # input and the carried streams as SEPARATE outputs (and its adjoint
+        # consumes their grads separately): no (s+1, ...) slice/concat.
         on_tpu = jax.default_backend() == 'tpu' or hck._INTERPRET
         if lazy:
             carried_f = residuals.carried.reshape(s, b * n, d)
             branch_f = residuals.branch.reshape(b * n, d)
             betaT = jnp.transpose(residuals.beta.reshape(s, b * n))
-            if on_tpu:
-                mixed, beta = hck.width_connection_fused(
-                    carried_f, branch_f, betaT, *params)
-            else:
-                mixed, beta = hck._width_fused_reference(
-                    carried_f, branch_f, betaT, *params)
+            fn = (hck.width_connection_fused if on_tpu
+                  else hck._width_fused_reference_split)
+            branch_input, carried, beta = fn(carried_f, branch_f, betaT, *params)
         else:
             flat = residuals.reshape(s, b * n, d)
-            if on_tpu:
-                mixed, beta = hck.width_connection(flat, *params)
-            else:
-                mixed, beta = hck._width_reference(flat, *params)
-        mixed = mixed.reshape(s + 1, b, n, d)
+            fn = (hck.width_connection if on_tpu
+                  else hck._width_reference_split)
+            branch_input, carried, beta = fn(flat, *params)
+        branch_input = branch_input.reshape(b, n, d)
+        carried = carried.reshape(s, b, n, d)
         beta = beta.reshape(s, b, n)
-
-        branch_input = mixed[0]
-        carried = mixed[1:]
 
         def add_residual(branch_out: jax.Array) -> LazyStreams:
             # depth connection, deferred: the next HyperConnection in the

@@ -56,10 +56,15 @@ def _width_reference(residuals, static_alpha, static_beta, dyn_alpha_w,
 
 
 def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
-                mixed_ref, beta_ref, num_streams):
+                b_ref, c_ref, beta_ref, num_streams):
     """Width-connection math over a list of per-stream (T, d) residuals —
     shared by the plain kernel (reads them from HBM) and the depth-fused
-    kernel (computes them from carried/branch/beta in VMEM)."""
+    kernel (computes them from carried/branch/beta in VMEM).
+
+    The branch input (mix column 0) and the carried streams (columns 1..s)
+    are written to SEPARATE outputs: callers consume them separately, and a
+    single (s+1, ...) output forced a full-tensor slice in the forward and
+    a pad+concat in the backward (~7 ms/step at flagship shape)."""
     s = num_streams
     a_scale = scales_ref[0, 0]
     b_scale = scales_ref[0, 1]
@@ -70,11 +75,15 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
     aw = aw_ref[...]                   # (d, pad) compute dtype
     bw = bw_ref[...]                   # (1, d)
 
-    # per-stream projections (python loop: s is a small static constant)
+    # per-stream projections (python loop: s is a small static constant).
+    # f32 views of each stream are cast ONCE and reused — the mix loop
+    # below reads every stream s+1 times, and repeated bf16->f32 converts
+    # were the dominant VPU cost of this kernel.
     alphas = []
     betas = []
+    rs_f32 = [r.astype(jnp.float32) for r in rs]
     for si in range(s):
-        r_f32 = rs[si].astype(jnp.float32)
+        r_f32 = rs_f32[si]
         sq = jnp.sum(r_f32 * r_f32, axis=-1)
         inv = jax.lax.rsqrt(jnp.clip(sq / d, min=1e-12))
         normed = rs[si] * inv[:, None].astype(dt)              # (T, d)
@@ -83,27 +92,31 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
             normed, aw, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (T, pad)
         alpha = jnp.tanh(proj) * a_scale + sa_ref[si][None, :]  # (T, pad)
-        alphas.append(alpha.astype(dt))
+        alphas.append(alpha.astype(dt))   # bf16 rounding matches the oracle
 
         projb = jnp.sum(normed.astype(jnp.float32)
                         * bw[0][None, :].astype(jnp.float32), axis=-1)
         betas.append(jnp.tanh(projb) * b_scale + sb_ref[0, si])
 
-    # stream mix: mixed[t] = sum_s alpha[s][:, t] * r[s]
+    # stream mix: mixed[t] = sum_s alpha[s][:, t] * r[s] (column casts of
+    # alpha are (T, 1) — cheap; the big (T, d) casts are the cached rs_f32)
     for t in range(s + 1):
-        acc = alphas[0][:, t][:, None].astype(jnp.float32) * rs[0].astype(jnp.float32)
+        acc = alphas[0][:, t][:, None].astype(jnp.float32) * rs_f32[0]
         for si in range(1, s):
-            acc += alphas[si][:, t][:, None].astype(jnp.float32) * rs[si].astype(jnp.float32)
-        mixed_ref[t] = acc.astype(dt)
+            acc += alphas[si][:, t][:, None].astype(jnp.float32) * rs_f32[si]
+        if t == 0:
+            b_ref[...] = acc.astype(dt)
+        else:
+            c_ref[t - 1] = acc.astype(dt)
 
     beta_ref[...] = jnp.stack(betas).astype(dt)
 
 
 def _width_kernel(r_ref, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
-                  mixed_ref, beta_ref, *, num_streams):
+                  b_ref, c_ref, beta_ref, *, num_streams):
     rs = [r_ref[si] for si in range(num_streams)]
     _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
-                mixed_ref, beta_ref, num_streams)
+                b_ref, c_ref, beta_ref, num_streams)
 
 
 def _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams):
@@ -120,11 +133,11 @@ def _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams):
 
 
 def _width_fused_kernel(carried_ref, branch_ref, betaT_ref, sa_ref, sb_ref,
-                        aw_ref, bw_ref, scales_ref, mixed_ref, beta_ref, *,
+                        aw_ref, bw_ref, scales_ref, b_ref, c_ref, beta_ref, *,
                         num_streams):
     rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams)
     _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
-                mixed_ref, beta_ref, num_streams)
+                b_ref, c_ref, beta_ref, num_streams)
 
 
 def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
@@ -148,7 +161,7 @@ def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
 
     grid = (m_pad // block_m,)
 
-    mixed, beta = pl.pallas_call(
+    branch_in, carried, beta = pl.pallas_call(
         functools.partial(_width_kernel, num_streams=s),
         grid=grid,
         in_specs=[
@@ -163,23 +176,26 @@ def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((s + 1, block_m, d), lambda i: (0, i, 0),
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s, block_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((s + 1, m_pad, d), dt),
+            jax.ShapeDtypeStruct((m_pad, d), dt),
+            jax.ShapeDtypeStruct((s, m_pad, d), dt),
             jax.ShapeDtypeStruct((s, m_pad), dt),
         ],
         interpret=_INTERPRET,
     )(residuals, sa, sb, aw, bw, scales)
 
-    return mixed[:, :m], beta[:, :m]
+    return branch_in[:m], carried[:, :m], beta[:, :m]
 
 
-def _width_bwd_core(rs, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
-                    scales_ref, gsa_ref, gsb_ref, gaw_ref, gbw_ref,
+def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
+                    bw_ref, scales_ref, gsa_ref, gsb_ref, gaw_ref, gbw_ref,
                     gscales_ref, num_streams):
     """Adjoint of the width connection over per-stream (T, d) residuals.
 
@@ -203,7 +219,6 @@ def _width_bwd_core(rs, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
     a_scale = scales_ref[0, 0]
     b_scale = scales_ref[0, 1]
 
-    gm = gm_ref[...]                    # (s+1, T, d)
     gb = gb_ref[...]                    # (s, T)
     dt = rs[0].dtype
     d = rs[0].shape[-1]
@@ -212,9 +227,11 @@ def _width_bwd_core(rs, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
     aw = aw_ref[...]                    # (d, pad) dt
     bw_f32 = bw_ref[0].astype(jnp.float32)   # (d,)
 
-    # fp32 views of g_mixed are re-cast per use — materialising all s+1
-    # upfront costs 2.5 MB of VMEM at (256, 512) blocks
-    gm_f32 = lambda t: gm[t].astype(jnp.float32)
+    # g_mixed arrives SPLIT (branch-input grad + carried grads) — no
+    # (s+1, ...) concat on the caller side. fp32 views are re-cast per use;
+    # Mosaic CSEs the repeated converts.
+    gm_f32 = lambda t: (gb0_ref[...] if t == 0
+                        else gc_ref[t - 1]).astype(jnp.float32)
 
     g_ascale = jnp.zeros((), jnp.float32)
     g_bscale = jnp.zeros((), jnp.float32)
@@ -297,19 +314,19 @@ def _width_bwd_core(rs, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
     return g_rs
 
 
-def _width_bwd_kernel(r_ref, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
-                      scales_ref, gr_ref, gsa_ref, gsb_ref, gaw_ref, gbw_ref,
-                      gscales_ref, *, num_streams):
+def _width_bwd_kernel(r_ref, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
+                      aw_ref, bw_ref, scales_ref, gr_ref, gsa_ref, gsb_ref,
+                      gaw_ref, gbw_ref, gscales_ref, *, num_streams):
     rs = [r_ref[si] for si in range(num_streams)]
-    g_rs = _width_bwd_core(rs, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref,
-                           bw_ref, scales_ref, gsa_ref, gsb_ref, gaw_ref,
-                           gbw_ref, gscales_ref, num_streams)
+    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
+                           aw_ref, bw_ref, scales_ref, gsa_ref, gsb_ref,
+                           gaw_ref, gbw_ref, gscales_ref, num_streams)
     for si in range(num_streams):
         gr_ref[si] = g_rs[si].astype(gr_ref.dtype)
 
 
-def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gm_ref,
-                            gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
+def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gb0_ref,
+                            gcar_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
                             scales_ref, gc_ref, gbr_ref, gbT_ref, gsa_ref,
                             gsb_ref, gaw_ref, gbw_ref, gscales_ref, *,
                             num_streams):
@@ -319,9 +336,9 @@ def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gm_ref,
     g_beta[si] = sum_d g_r[si] * branch."""
     s = num_streams
     rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, s)
-    g_rs = _width_bwd_core(rs, gm_ref, gb_ref, sa_ref, sb_ref, aw_ref,
-                           bw_ref, scales_ref, gsa_ref, gsb_ref, gaw_ref,
-                           gbw_ref, gscales_ref, s)
+    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
+                           aw_ref, bw_ref, scales_ref, gsa_ref, gsb_ref,
+                           gaw_ref, gbw_ref, gscales_ref, s)
 
     branch_f32 = branch_ref[...].astype(jnp.float32)
     gbranch = jnp.zeros_like(branch_f32)
@@ -337,7 +354,7 @@ def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gm_ref,
 
 def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
                       dyn_alpha_scale, dyn_beta_w, dyn_beta_scale,
-                      g_mixed, g_beta, block_m: int = 128):
+                      g_branch_in, g_carried, g_beta, block_m: int = 128):
     # block_m 128 (not the fwd's 256): the adjoint holds several fp32
     # row-tile temporaries and double-buffers 2s+1 stream blocks — 256-row
     # tiles exceed the 16 MB scoped-VMEM limit at d=512
@@ -347,7 +364,8 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
     m_pad = round_up_to_multiple(m, block_m)
     if m_pad != m:
         residuals = jnp.pad(residuals, ((0, 0), (0, m_pad - m), (0, 0)))
-        g_mixed = jnp.pad(g_mixed, ((0, 0), (0, m_pad - m), (0, 0)))
+        g_branch_in = jnp.pad(g_branch_in, ((0, m_pad - m), (0, 0)))
+        g_carried = jnp.pad(g_carried, ((0, 0), (0, m_pad - m), (0, 0)))
         g_beta = jnp.pad(g_beta, ((0, 0), (0, m_pad - m)))
         # padded rows have r = 0 and g = 0 => contribute nothing anywhere
 
@@ -368,8 +386,10 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
         in_specs=[
             pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),          # r
-            pl.BlockSpec((s + 1, block_m, d), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),          # g_mixed
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # g_branch_in
+            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # g_carried
             pl.BlockSpec((s, block_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),          # g_beta
             pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
@@ -398,7 +418,7 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),   # sequential: accumulators
         interpret=_INTERPRET,
-    )(residuals, g_mixed, g_beta, sa, sb, aw, bw, scales)
+    )(residuals, g_branch_in, g_carried, g_beta, sa, sb, aw, bw, scales)
 
     p32 = static_alpha.dtype
     return (g_r[:, :m],
@@ -443,7 +463,7 @@ def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
     grid = (m_pad // block_m,)
     const = lambda i: (0, 0)
 
-    mixed, beta = pl.pallas_call(
+    branch_in, carried_out, beta = pl.pallas_call(
         functools.partial(_width_fused_kernel, num_streams=s),
         grid=grid,
         in_specs=[
@@ -460,30 +480,34 @@ def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
             pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((s + 1, block_m, d), lambda i: (0, i, 0),
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s, block_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((s + 1, m_pad, d), dt),
+            jax.ShapeDtypeStruct((m_pad, d), dt),
+            jax.ShapeDtypeStruct((s, m_pad, d), dt),
             jax.ShapeDtypeStruct((s, m_pad), dt),
         ],
         interpret=_INTERPRET,
     )(carried, branch, betaT, sa, sb, aw, bw, scales)
 
-    return mixed[:, :m], beta[:, :m]
+    return branch_in[:m], carried_out[:, :m], beta[:, :m]
 
 
 def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
                             static_beta, dyn_alpha_w, dyn_alpha_scale,
-                            dyn_beta_w, dyn_beta_scale, g_mixed, g_beta,
-                            block_m: int = 128):
+                            dyn_beta_w, dyn_beta_scale, g_branch_in,
+                            g_carried_in, g_beta, block_m: int = 128):
     s, m, d = carried.shape
     dt = carried.dtype
     m_pad = round_up_to_multiple(m, block_m)
     if m_pad != m:
-        g_mixed = jnp.pad(g_mixed, ((0, 0), (0, m_pad - m), (0, 0)))
+        g_branch_in = jnp.pad(g_branch_in, ((0, m_pad - m), (0, 0)))
+        g_carried_in = jnp.pad(g_carried_in, ((0, 0), (0, m_pad - m), (0, 0)))
         g_beta = jnp.pad(g_beta, ((0, 0), (0, m_pad - m)))
     carried, branch, betaT, sa, sb, aw, bw, scales, m_pad, pad_cols = \
         _fused_prepare(carried, branch, betaT, static_alpha, dyn_alpha_w,
@@ -502,8 +526,10 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
                          memory_space=pltpu.VMEM),          # branch
             pl.BlockSpec((block_m, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),          # betaT
-            pl.BlockSpec((s + 1, block_m, d), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),          # g_mixed
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # g_branch_in
+            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),          # g_carried_in
             pl.BlockSpec((s, block_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),          # g_beta
             pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
@@ -538,7 +564,8 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),   # sequential: accumulators
         interpret=_INTERPRET,
-    )(carried, branch, betaT, g_mixed, g_beta, sa, sb, aw, bw, scales)
+    )(carried, branch, betaT, g_branch_in, g_carried_in, g_beta,
+      sa, sb, aw, bw, scales)
 
     g_c, g_br, g_bT, g_sa, g_sb, g_aw, g_bw, g_scales = outs
     p32 = static_alpha.dtype
@@ -551,6 +578,19 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
             g_scales[0, 1].astype(dyn_beta_scale.dtype))
 
 
+def _split_reference(mixed, beta):
+    """(s+1, M, d) mixed -> (branch_input, carried) to match the split
+    kernel outputs."""
+    return mixed[0], mixed[1:], beta
+
+
+def _width_reference_split(residuals, static_alpha, static_beta, dyn_alpha_w,
+                           dyn_alpha_scale, dyn_beta_w, dyn_beta_scale):
+    return _split_reference(*_width_reference(
+        residuals, static_alpha, static_beta, dyn_alpha_w,
+        dyn_alpha_scale, dyn_beta_w, dyn_beta_scale))
+
+
 def _width_fused_reference(carried, branch, betaT, static_alpha, static_beta,
                            dyn_alpha_w, dyn_alpha_scale, dyn_beta_w,
                            dyn_beta_scale):
@@ -558,6 +598,10 @@ def _width_fused_reference(carried, branch, betaT, static_alpha, static_beta,
         * jnp.transpose(betaT)[..., None].astype(carried.dtype)
     return _width_reference(r, static_alpha, static_beta, dyn_alpha_w,
                             dyn_alpha_scale, dyn_beta_w, dyn_beta_scale)
+
+
+def _width_fused_reference_split(*args):
+    return _split_reference(*_width_fused_reference(*args))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -569,15 +613,18 @@ def width_connection_fused(carried, branch, betaT, static_alpha, static_beta,
     carried (s, M, d) + branch (M, d) + betaT (M, s) implicitly form
     r[si] = carried[si] + branch * betaT[:, si] (the previous branch's depth
     connection) INSIDE the kernel — the residual streams never round-trip
-    through HBM between branches. Returns ((s+1, M, d) mixed, (s, M) beta)
-    exactly like `width_connection(r, ...)`."""
+    through HBM between branches. Returns ``(branch_input (M, d),
+    carried (s, M, d), beta (s, M))`` — the mix's column 0 and columns 1..s
+    as separate arrays (a single (s+1, ...) output forced a slice in the
+    forward and a pad+concat in the backward)."""
     if (jax.default_backend() == 'tpu' or _INTERPRET):
         return _width_fused_pallas(carried, branch, betaT, static_alpha,
                                    static_beta, dyn_alpha_w, dyn_alpha_scale,
                                    dyn_beta_w, dyn_beta_scale)
-    return _width_fused_reference(carried, branch, betaT, static_alpha,
-                                  static_beta, dyn_alpha_w, dyn_alpha_scale,
-                                  dyn_beta_w, dyn_beta_scale)
+    return _width_fused_reference_split(carried, branch, betaT, static_alpha,
+                                        static_beta, dyn_alpha_w,
+                                        dyn_alpha_scale, dyn_beta_w,
+                                        dyn_beta_scale)
 
 
 def _width_fused_fwd(*args):
@@ -585,10 +632,10 @@ def _width_fused_fwd(*args):
 
 
 def _width_fused_bwd(args, g):
-    g_mixed, g_beta = g
+    g_branch_in, g_carried, g_beta = g
     if jax.default_backend() == 'tpu' or _INTERPRET:
-        return _width_fused_bwd_pallas(*args, g_mixed, g_beta)
-    _, vjp = jax.vjp(_width_fused_reference, *args)
+        return _width_fused_bwd_pallas(*args, g_branch_in, g_carried, g_beta)
+    _, vjp = jax.vjp(_width_fused_reference_split, *args)
     return vjp(g)
 
 
@@ -598,7 +645,8 @@ width_connection_fused.defvjp(_width_fused_fwd, _width_fused_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def width_connection(residuals, static_alpha, static_beta, dyn_alpha_w,
                      dyn_alpha_scale, dyn_beta_w, dyn_beta_scale):
-    """(s, M, d) streams -> ((s+1, M, d) mixed [0 = branch input], (s, M) beta)."""
+    """(s, M, d) streams -> (branch_input (M, d), carried (s, M, d),
+    beta (s, M)) — mix column 0 and columns 1..s as separate outputs."""
     return _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
                          dyn_alpha_scale, dyn_beta_w, dyn_beta_scale)
 
@@ -608,10 +656,10 @@ def _width_fwd(*args):
 
 
 def _width_bwd(args, g):
-    g_mixed, g_beta = g
+    g_branch_in, g_carried, g_beta = g
     if jax.default_backend() == 'tpu' or _INTERPRET:
-        return _width_bwd_pallas(*args, g_mixed, g_beta)
-    _, vjp = jax.vjp(_width_reference, *args)
+        return _width_bwd_pallas(*args, g_branch_in, g_carried, g_beta)
+    _, vjp = jax.vjp(_width_reference_split, *args)
     return vjp(g)
 
 

@@ -118,8 +118,10 @@ def bench_components():
 
     def wgrad(*a):
         def f(*a):
-            mixed, beta = hck.width_connection(*a)
-            return (mixed.astype(jnp.float32) ** 2).sum() + (beta.astype(jnp.float32) ** 2).sum()
+            b, c, beta = hck.width_connection(*a)
+            return ((b.astype(jnp.float32) ** 2).sum()
+                    + (c.astype(jnp.float32) ** 2).sum()
+                    + (beta.astype(jnp.float32) ** 2).sum())
         g = jax.grad(f, argnums=tuple(range(7)))(*a)
         return g
     print(f'HC width fwd+bwd (custom vjp):           {timeit(jax.jit(wgrad), *args):8.3f} ms')

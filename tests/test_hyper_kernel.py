@@ -31,7 +31,8 @@ def make_inputs(s=4, m=100, d=64, dtype=jnp.float32, seed=0):
 @pytest.mark.parametrize('dtype', [jnp.float32, jnp.bfloat16])
 def test_width_kernel_matches_reference(dtype):
     args = make_inputs(dtype=dtype)
-    mixed_k, beta_k = hck.width_connection(*args)
+    b_k, c_k, beta_k = hck.width_connection(*args)
+    mixed_k = jnp.concatenate([b_k[None], c_k], axis=0)
     mixed_r, beta_r = hck._width_reference(*args)
     atol = 1e-5 if dtype == jnp.float32 else 3e-2
     np.testing.assert_allclose(np.asarray(mixed_k, dtype=np.float32),
@@ -43,7 +44,8 @@ def test_width_kernel_matches_reference(dtype):
 def test_width_kernel_row_padding():
     # m not a multiple of the block: padded internally, output trimmed
     args = make_inputs(m=37)
-    mixed_k, beta_k = hck.width_connection(*args)
+    b_k, c_k, beta_k = hck.width_connection(*args)
+    mixed_k = jnp.concatenate([b_k[None], c_k], axis=0)
     assert mixed_k.shape == (5, 37, 64)
     assert beta_k.shape == (4, 37)
     mixed_r, beta_r = hck._width_reference(*args)
@@ -54,8 +56,8 @@ def test_width_kernel_gradients_match_reference():
     args = make_inputs(m=32, d=32)
 
     def loss_k(*a):
-        mixed, beta = hck.width_connection(*a)
-        return (mixed ** 2).sum() + (beta ** 2).sum()
+        b, c, beta = hck.width_connection(*a)
+        return (b ** 2).sum() + (c ** 2).sum() + (beta ** 2).sum()
 
     def loss_r(*a):
         mixed, beta = hck._width_reference(*a)
@@ -77,7 +79,8 @@ def test_width_kernel_bwd_multitile(dtype, rtol):
     args = make_inputs(s=4, m=600, d=64, dtype=dtype, seed=3)
 
     def loss_k(*a):
-        mixed, beta = hck.width_connection(*a)
+        b, c, beta = hck.width_connection(*a)
+        mixed = jnp.concatenate([b[None], c], axis=0)
         return (mixed.astype(jnp.float32) ** 2).mean() + \
             (beta.astype(jnp.float32) ** 2).mean()
 
@@ -126,10 +129,12 @@ def test_fused_kernel_matches_materialized(dtype):
     """Depth-fused width == materialize-then-width, bit-for-math."""
     args = make_fused_inputs(dtype=dtype)
     carried, branch, betaT = args[:3]
-    mixed_f, beta_f = hck.width_connection_fused(*args)
+    b_f, c_f, beta_f = hck.width_connection_fused(*args)
+    mixed_f = jnp.concatenate([b_f[None], c_f], axis=0)
     r = carried + branch[None].astype(dtype) \
         * jnp.transpose(betaT)[..., None].astype(dtype)
-    mixed_p, beta_p = hck.width_connection(r, *args[3:])
+    b_p, c_p, beta_p = hck.width_connection(r, *args[3:])
+    mixed_p = jnp.concatenate([b_p[None], c_p], axis=0)
     atol = 1e-5 if dtype == jnp.float32 else 5e-2
     np.testing.assert_allclose(np.asarray(mixed_f, np.float32),
                                np.asarray(mixed_p, np.float32), atol=atol)
@@ -143,7 +148,8 @@ def test_fused_kernel_grads_match_reference():
     args = make_fused_inputs(m=96)
 
     def loss_k(*a):
-        mixed, beta = hck.width_connection_fused(*a)
+        b, c, beta = hck.width_connection_fused(*a)
+        mixed = jnp.concatenate([b[None], c], axis=0)
         return (mixed.astype(jnp.float32) ** 2).mean() + \
             (beta.astype(jnp.float32) ** 2).mean()
 
