@@ -22,6 +22,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import importlib.util
 from collections import namedtuple
 from functools import partial
 from random import random as py_random
@@ -112,8 +113,11 @@ class E2TTS(nnx.Module):
         interpolated_text: bool = False,
         text_num_embeds: int | None = None,
         tokenizer='char_utf8',
-        use_vocos: bool = False,   # reference defaults True; needs the torch
-                                   # `vocos` package — loaded lazily if set
+        use_vocos: bool | None = None,  # None = auto: True iff the torch
+                                   # `vocos` package is importable (reference
+                                   # defaults True, e2_tts.py:1141, and ships
+                                   # audio out of the box; without the
+                                   # package we fall back to raw-mel output)
         pretrained_vocos_path: str = 'charactr/vocos-mel-24khz',
         vocos_backend: str = 'torch',   # 'torch' (reference parity, host
                                    # loop) | 'jax' (e2_tts_tpu.vocoder.Vocos:
@@ -185,6 +189,10 @@ class E2TTS(nnx.Module):
 
         self.velocity_consistency_weight = velocity_consistency_weight
 
+        if not exists(use_vocos):
+            # reference parity when possible: default the vocoder ON exactly
+            # when the torch `vocos` package can actually provide it
+            use_vocos = importlib.util.find_spec('vocos') is not None
         self.use_vocos = use_vocos
         self.pretrained_vocos_path = pretrained_vocos_path
         assert vocos_backend in ('torch', 'jax')

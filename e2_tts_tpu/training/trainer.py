@@ -36,6 +36,7 @@ from e2_tts_tpu.training.checkpointing import save_checkpoint, load_checkpoint
 from e2_tts_tpu.training.data import iter_batches, prefetch
 from e2_tts_tpu.training.ema import EMA
 from e2_tts_tpu.utils.helpers import exists, default
+from e2_tts_tpu.utils.tensor import set_compute_dtype
 
 try:
     from loguru import logger
@@ -85,6 +86,11 @@ class E2Trainer:
         use_tensorboard: bool = False,
         profile_dir: str | None = None,   # jax.profiler trace output (Perfetto/TB)
         profile_steps: tuple[int, int] = (10, 15),  # [start, stop) steps to trace
+        dtype=None,                       # mixed-precision convenience (the
+                                          # reference's accelerate_kwargs
+                                          # mixed_precision, trainer.py:149):
+                                          # sets the COMPUTE dtype of every
+                                          # submodule (params stay f32)
         log_step: int = 10,               # host-sync/log losses every N steps —
                                           # per-step device_get serialises
                                           # dispatch (the only per-step host
@@ -93,6 +99,11 @@ class E2Trainer:
     ):
         if hasattr(logger, 'add') and exists(log_file):
             logger.add(log_file)
+
+        if exists(dtype):
+            set_compute_dtype(model, dtype)
+            if exists(duration_predictor):
+                set_compute_dtype(duration_predictor, dtype)
 
         self.model = model
         self.duration_predictor = duration_predictor

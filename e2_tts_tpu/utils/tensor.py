@@ -93,3 +93,22 @@ def masked_interpolate_1d(
         return xb[lo] * (1.0 - w) + xb[hi] * w
 
     return jax.vmap(per_sample)(x, src_lens, tgt_lens)
+
+
+def set_compute_dtype(module, dtype):
+    """Set the COMPUTE dtype of every nnx submodule that carries one.
+
+    Flax layers and this repo's blocks read ``self.dtype`` at call time to
+    promote activations; parameters keep their ``param_dtype``. This is the
+    post-hoc analog of constructing with ``dtype=`` — the trainer uses it
+    for its mixed-precision passthrough (the reference's
+    ``accelerate_kwargs={'mixed_precision': ...}``, trainer.py:149)."""
+    from flax import nnx
+
+    for _, m in module.iter_modules():
+        cls_attr = getattr(type(m), 'dtype', None)
+        if isinstance(cls_attr, property):
+            continue   # derived dtypes (e.g. LazyStreams) are not settable
+        if hasattr(m, 'dtype'):
+            m.dtype = dtype
+    return module

@@ -436,3 +436,18 @@ def test_e2tts_sample_ode_methods(method):
                        duration_bucket=16)
     assert out.shape == (1, 16, 100)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_use_vocos_auto_default():
+    """use_vocos=None resolves to whether the torch `vocos` package is
+    importable (reference defaults True and ships audio out of the box,
+    e2_tts.py:1141); explicit False always wins."""
+    import importlib.util
+    from flax import nnx
+    from e2_tts_tpu import E2TTS
+    cfg = dict(dim=32, depth=2, heads=2, dim_head=16, num_registers=2,
+               max_seq_len=64, kernel_size=7)
+    auto = E2TTS(transformer=dict(**cfg), rngs=nnx.Rngs(0))
+    assert auto.use_vocos == (importlib.util.find_spec('vocos') is not None)
+    off = E2TTS(transformer=dict(**cfg), use_vocos=False, rngs=nnx.Rngs(0))
+    assert off.use_vocos is False

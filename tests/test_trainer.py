@@ -336,3 +336,20 @@ def test_trainer_with_prefetch_workers(tmp_path):
     # non-divisible batch size fails with a clear error
     with pytest.raises(AssertionError, match='divisible'):
         trainer.train(_toy_dataset(n=8), epochs=1, batch_size=3)
+
+
+def test_trainer_dtype_passthrough(tmp_path):
+    """E2Trainer(dtype=...) sets every submodule's COMPUTE dtype (the
+    reference's accelerate mixed_precision passthrough, trainer.py:149);
+    params stay in param_dtype and training still runs."""
+    import jax.numpy as jnp
+    model = small_e2tts()
+    assert model.transformer.dtype is None
+    trainer = E2Trainer(model, learning_rate=1e-3, num_warmup_steps=1,
+                        total_steps=4, checkpoint_path=str(tmp_path / 'ckpt'),
+                        log_file=None, dtype=jnp.bfloat16)
+    assert model.transformer.dtype == jnp.bfloat16
+    assert model.proj_in.dtype == jnp.bfloat16
+    # params remain f32 master copies
+    assert model.proj_in.kernel[...].dtype == jnp.float32
+    trainer.train(_toy_dataset(n=8), epochs=1, batch_size=8, save_step=100)
