@@ -115,7 +115,10 @@ class HyperConnection(nnx.Module):
         # dtype — the mix is bandwidth-bound. The kernel emits the branch
         # input and the carried streams as SEPARATE outputs (and its adjoint
         # consumes their grads separately): no (s+1, ...) slice/concat.
-        on_tpu = jax.default_backend() == 'tpu' or hck._INTERPRET
+        # E2TTS_HC_BACKEND=xla forces the reference path (debug escape hatch).
+        import os
+        on_tpu = (jax.default_backend() == 'tpu' or hck._INTERPRET) \
+            and os.environ.get('E2TTS_HC_BACKEND', '') != 'xla'
         if lazy:
             carried_f = residuals.carried.reshape(s, b * n, d)
             branch_f = residuals.branch.reshape(b * n, d)

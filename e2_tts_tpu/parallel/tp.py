@@ -48,18 +48,26 @@ def make_2d_mesh(data: int, model: int, devices=None) -> Mesh:
 
 def _spec_for(path: str, shape: tuple[int, ...], n_model: int):
     """Returns (spec | None, matched). ``None`` spec with ``matched`` means
-    a rule hit a parameter the mesh cannot divide — the caller raises."""
+    a rule hit a parameter the mesh cannot divide — the caller raises.
+
+    Handles both the unrolled layout (2-D kernels, 1-D biases) and
+    `scan_layers=True`'s stacked mid-group params, which carry a leading
+    layer axis: (L, in, out) kernels and (L, out) biases — the layer axis
+    is never sharded (it is scanned over), features shard as usual."""
     for rx, kind in _RULES:
         if rx.search(path):
-            if kind == 'col' and len(shape) == 2:
-                ok = shape[1] % n_model == 0
-                return (P(None, MODEL_AXIS) if ok else None), True
-            if kind == 'row' and len(shape) == 2:
-                ok = shape[0] % n_model == 0
-                return (P(MODEL_AXIS, None) if ok else None), True
-            if kind == 'col_bias' and len(shape) == 1:
-                ok = shape[0] % n_model == 0
-                return (P(MODEL_AXIS) if ok else None), True
+            stacked = (len(shape) == 3 if kind in ('col', 'row')
+                       else len(shape) == 2)
+            lead = (None,) if stacked else ()
+            if kind == 'col' and len(shape) in (2, 3):
+                ok = shape[-1] % n_model == 0
+                return (P(*lead, None, MODEL_AXIS) if ok else None), True
+            if kind == 'row' and len(shape) in (2, 3):
+                ok = shape[-2] % n_model == 0
+                return (P(*lead, MODEL_AXIS, None) if ok else None), True
+            if kind == 'col_bias' and len(shape) in (1, 2):
+                ok = shape[-1] % n_model == 0
+                return (P(*lead, MODEL_AXIS) if ok else None), True
     return P(), False
 
 

@@ -198,3 +198,69 @@ def test_tp_indivisible_raises():
         rngs=_nnx.Rngs(0))
     with _pytest.raises(ValueError, match='cannot divide'):
         shard_module_tp(bad, mesh)
+
+
+def test_tensor_parallel_scan_layers():
+    """TP composes with scan_layers=True: the stacked (L, in, out) mid-group
+    kernels shard on their feature axes (never the scanned layer axis) and
+    the loss matches the unsharded scan model."""
+    from e2_tts_tpu.parallel.tp import make_2d_mesh, shard_module_tp
+    from e2_tts_tpu.models.e2tts import E2TTS
+    from flax import nnx as _nnx
+
+    mesh = make_2d_mesh(data=2, model=4)
+
+    def build():
+        return E2TTS(
+            transformer=dict(dim=64, depth=4, heads=4, dim_head=16, ff_mult=2,
+                             num_registers=2, max_seq_len=64, kernel_size=7,
+                             dropout=0.0, num_residual_streams=1,
+                             scan_layers=True, attn_backend='xla'),
+            rngs=_nnx.Rngs(0))
+
+    ref = build()
+    ref.eval()
+    mel = jax.random.normal(jax.random.key(0), (2, 16, 100))
+    text = jnp.asarray(ref.tokenizer(['ab', 'cd']))
+    key = jax.random.key(1)
+    loss_ref = float(ref(mel, text=text, key=key, drop_text_cond=False).loss)
+
+    tp = build()
+    tp.eval()
+    shard_module_tp(tp, mesh)
+    # stacked mid-group kernels actually sharded, layer axis untouched
+    stacked = [p for p in tp._tp_sharded_paths if 'mid_' in p]
+    assert stacked, tp._tp_sharded_paths
+    mid = tp.transformer.mid_first.speech.attn.to_q.kernel[...]
+    spec = mid.sharding.spec
+    assert spec[0] is None and 'model' in str(spec)
+
+    @_nnx.jit
+    def loss_fn(m, mel, text, key):
+        return m(mel, text=text, key=key, drop_text_cond=False).loss
+
+    loss_tp = float(loss_fn(tp, mel, text, key))
+    np.testing.assert_allclose(loss_tp, loss_ref, rtol=2e-5)
+
+
+def test_fsdp_scan_layers_trainer(tmp_path):
+    """FSDP param sharding composes with scan_layers in a real train step."""
+    from flax import nnx as _nnx
+    from e2_tts_tpu.models.e2tts import E2TTS
+    from e2_tts_tpu.training.trainer import E2Trainer
+    from e2_tts_tpu.training.data import ArrayDataset
+
+    model = E2TTS(
+        transformer=dict(dim=64, depth=4, heads=4, dim_head=16, ff_mult=2,
+                         num_registers=2, max_seq_len=64, kernel_size=7,
+                         dropout=0.0, num_residual_streams=1,
+                         scan_layers=True, attn_backend='xla'),
+        rngs=_nnx.Rngs(0))
+    trainer = E2Trainer(model, learning_rate=1e-3, num_warmup_steps=1,
+                        total_steps=4, param_sharding='fsdp',
+                        checkpoint_path=str(tmp_path / 'ckpt'), log_file=None)
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(
+        [rng.standard_normal((100, 24)).astype(np.float32) for _ in range(8)],
+        ['hello world'] * 8)
+    trainer.train(ds, epochs=1, batch_size=8, save_step=100)
