@@ -16,8 +16,11 @@ Conventions:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import nnx
 
 from e2_tts_tpu.ops.attention import attention_packed as attention_packed_op
@@ -311,6 +314,14 @@ class FeedForward(nnx.Module):
 
 # attention ------------------------------------------------------------------
 
+@functools.cache
+def _lane_expand_matrix(heads: int, dim_head: int) -> jax.Array:
+    """(h, h*dh) 0/1 matrix E with E[i, i*dh:(i+1)*dh] = 1: ``s @ E``
+    broadcasts a per-head scalar (b, n, h) to packed lanes (b, n, h*dh)."""
+    return jnp.asarray(np.kron(np.eye(heads, dtype=np.float32),
+                               np.ones((1, dim_head), dtype=np.float32)))
+
+
 class Attention(nnx.Module):
     """Multi-head attention with the x-transformers flags the reference
     configures (e2_tts.py:548-551, 641, 689):
@@ -409,12 +420,18 @@ class Attention(nnx.Module):
 
         orig_values = v                                               # (b, n, h*dh)
 
-        per_head = lambda t, s: (t.reshape(b, n, h, dh) * s[..., None]
-                                 ).reshape(b, n, h * dh)
+        # per-head scalars broadcast to lanes via a (h, h*dh) 0/1 MATMUL
+        # instead of a 4-D reshape: the reshape forces XLA into {1,3,2,0}
+        # layouts with full-tensor copies (same pathology as rotary — see
+        # ops/rotary.py); the K=8 expansion dot is ~free on the MXU, exact
+        # in any dtype (each output is one input or zero), and keeps the
+        # scale elementwise fused in the packed 3-D layout.
+        expand = lambda s: jax.lax.dot_general(
+            s, _lane_expand_matrix(h, dh).astype(s.dtype),
+            (((2,), (0,)), ((), ())))                                 # (b,n,h*dh)
         if exists(mix_logits) and exists(value_residual):
-            mix = jax.nn.sigmoid(mix_logits)                          # (b, n, h)
-            v = (per_head(v, mix)
-                 + per_head(value_residual.astype(v.dtype), 1.0 - mix))
+            mix = expand(jax.nn.sigmoid(mix_logits))                  # (b,n,h*dh)
+            v = v * mix + value_residual.astype(v.dtype) * (1.0 - mix)
 
         if exists(rotary_pos_emb):
             q = apply_rotary_packed(q, rotary_pos_emb)
@@ -434,6 +451,6 @@ class Attention(nnx.Module):
         )
 
         if exists(gate_logits):
-            out = per_head(out, jax.nn.sigmoid(gate_logits))
+            out = out * expand(jax.nn.sigmoid(gate_logits))
 
         return self.to_out(out), orig_values
