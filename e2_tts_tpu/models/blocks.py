@@ -315,11 +315,17 @@ class FeedForward(nnx.Module):
 # attention ------------------------------------------------------------------
 
 @functools.cache
+def _lane_expand_matrix_np(heads: int, dim_head: int) -> np.ndarray:
+    return np.kron(np.eye(heads, dtype=np.float32),
+                   np.ones((1, dim_head), dtype=np.float32))
+
+
 def _lane_expand_matrix(heads: int, dim_head: int) -> jax.Array:
     """(h, h*dh) 0/1 matrix E with E[i, i*dh:(i+1)*dh] = 1: ``s @ E``
-    broadcasts a per-head scalar (b, n, h) to packed lanes (b, n, h*dh)."""
-    return jnp.asarray(np.kron(np.eye(heads, dtype=np.float32),
-                               np.ones((1, dim_head), dtype=np.float32)))
+    broadcasts a per-head scalar (b, n, h) to packed lanes (b, n, h*dh).
+    Only the NUMPY array is cached — a cached jnp constant would be a
+    tracer from whichever jit traced it first and leak into later traces."""
+    return jnp.asarray(_lane_expand_matrix_np(heads, dim_head))
 
 
 class Attention(nnx.Module):
