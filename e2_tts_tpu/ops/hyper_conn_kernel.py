@@ -56,7 +56,7 @@ def _width_reference(residuals, static_alpha, static_beta, dyn_alpha_w,
 
 
 def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
-                b_ref, c_ref, beta_ref, num_streams):
+                b_ref, c_ref, beta_ref, num_streams, state_refs=None):
     """Width-connection math over a list of per-stream (T, d) residuals —
     shared by the plain kernel (reads them from HBM) and the depth-fused
     kernel (computes them from carried/branch/beta in VMEM).
@@ -64,7 +64,12 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
     The branch input (mix column 0) and the carried streams (columns 1..s)
     are written to SEPARATE outputs: callers consume them separately, and a
     single (s+1, ...) output forced a full-tensor slice in the forward and
-    a pad+concat in the backward (~7 ms/step at flagship shape)."""
+    a pad+concat in the backward (~7 ms/step at flagship shape).
+
+    ``state_refs = (ta_ref, tb_ref, inv_ref)``, when given, saves the cheap
+    forward intermediates — tanh(alpha proj) (s, T, pad) f32, tanh(beta
+    proj) (s, T) f32, and the rms reciprocal (s, T) f32 — ~0.03% of the
+    stream bytes, letting the adjoint kernel skip its forward recompute."""
     s = num_streams
     a_scale = scales_ref[0, 0]
     b_scale = scales_ref[0, 1]
@@ -81,6 +86,7 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
     # were the dominant VPU cost of this kernel.
     alphas = []
     betas = []
+    tbs, invs = [], []
     rs_f32 = [r.astype(jnp.float32) for r in rs]
     for si in range(s):
         r_f32 = rs_f32[si]
@@ -91,12 +97,20 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
         proj = jax.lax.dot_general(
             normed, aw, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (T, pad)
-        alpha = jnp.tanh(proj) * a_scale + sa_ref[si][None, :]  # (T, pad)
+        ta = jnp.tanh(proj)
+        alpha = ta * a_scale + sa_ref[si][None, :]             # (T, pad)
         alphas.append(alpha.astype(dt))   # bf16 rounding matches the oracle
 
         projb = jnp.sum(normed.astype(jnp.float32)
                         * bw[0][None, :].astype(jnp.float32), axis=-1)
-        betas.append(jnp.tanh(projb) * b_scale + sb_ref[0, si])
+        tb = jnp.tanh(projb)
+        betas.append(tb * b_scale + sb_ref[0, si])
+
+        if state_refs is not None:
+            ta_ref, tb_ref, inv_ref = state_refs
+            ta_ref[si] = ta
+            tbs.append(tb)
+            invs.append(inv)
 
     # stream mix: mixed[t] = sum_s alpha[s][:, t] * r[s] (column casts of
     # alpha are (T, 1) — cheap; the big (T, d) casts are the cached rs_f32)
@@ -110,6 +124,10 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
             c_ref[t - 1] = acc.astype(dt)
 
     beta_ref[...] = jnp.stack(betas).astype(dt)
+    if state_refs is not None:
+        _, tb_ref, inv_ref = state_refs
+        tb_ref[...] = jnp.stack(tbs)
+        inv_ref[...] = jnp.stack(invs)
 
 
 def _width_kernel(r_ref, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
@@ -117,6 +135,15 @@ def _width_kernel(r_ref, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
     rs = [r_ref[si] for si in range(num_streams)]
     _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
                 b_ref, c_ref, beta_ref, num_streams)
+
+
+def _width_kernel_save(r_ref, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+                       b_ref, c_ref, beta_ref, ta_ref, tb_ref, inv_ref, *,
+                       num_streams):
+    rs = [r_ref[si] for si in range(num_streams)]
+    _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+                b_ref, c_ref, beta_ref, num_streams,
+                state_refs=(ta_ref, tb_ref, inv_ref))
 
 
 def _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams):
@@ -140,9 +167,37 @@ def _width_fused_kernel(carried_ref, branch_ref, betaT_ref, sa_ref, sb_ref,
                 b_ref, c_ref, beta_ref, num_streams)
 
 
+def _width_fused_kernel_save(carried_ref, branch_ref, betaT_ref, sa_ref,
+                             sb_ref, aw_ref, bw_ref, scales_ref, b_ref,
+                             c_ref, beta_ref, ta_ref, tb_ref, inv_ref, *,
+                             num_streams):
+    rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams)
+    _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+                b_ref, c_ref, beta_ref, num_streams,
+                state_refs=(ta_ref, tb_ref, inv_ref))
+
+
+def _state_specs(s, m_pad, block_m, pad_cols):
+    """out_specs/out_shapes for the saved adjoint state (ta, tb, inv)."""
+    specs = [
+        pl.BlockSpec((s, block_m, pad_cols), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, block_m), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, block_m), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    shapes = [
+        jax.ShapeDtypeStruct((s, m_pad, pad_cols), jnp.float32),
+        jax.ShapeDtypeStruct((s, m_pad), jnp.float32),
+        jax.ShapeDtypeStruct((s, m_pad), jnp.float32),
+    ]
+    return specs, shapes
+
+
 def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
                   dyn_alpha_scale, dyn_beta_w, dyn_beta_scale,
-                  block_m: int = 256):
+                  block_m: int = 256, save_state: bool = False):
     s, m, d = residuals.shape
     dt = residuals.dtype
 
@@ -160,9 +215,28 @@ def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
     scales = jnp.stack([dyn_alpha_scale, dyn_beta_scale]).astype(jnp.float32)[None, :]
 
     grid = (m_pad // block_m,)
+    out_specs = [
+        pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, block_m), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m_pad, d), dt),
+        jax.ShapeDtypeStruct((s, m_pad, d), dt),
+        jax.ShapeDtypeStruct((s, m_pad), dt),
+    ]
+    kern = _width_kernel
+    if save_state:
+        sp, sh = _state_specs(s, m_pad, block_m, pad_cols)
+        out_specs += sp
+        out_shape += sh
+        kern = _width_kernel_save
 
-    branch_in, carried, beta = pl.pallas_call(
-        functools.partial(_width_kernel, num_streams=s),
+    outs = pl.pallas_call(
+        functools.partial(kern, num_streams=s),
         grid=grid,
         in_specs=[
             pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
@@ -175,28 +249,25 @@ def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, block_m), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m_pad, d), dt),
-            jax.ShapeDtypeStruct((s, m_pad, d), dt),
-            jax.ShapeDtypeStruct((s, m_pad), dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_INTERPRET,
     )(residuals, sa, sb, aw, bw, scales)
 
-    return branch_in[:m], carried[:, :m], beta[:, :m]
+    branch_in, carried, beta = outs[:3]
+    pub = (branch_in[:m], carried[:, :m], beta[:, :m])
+    if save_state:
+        # trim to m: fwd and bwd use different block sizes, so the bwd
+        # re-pads to its own m_pad (zero state rows are inert — their
+        # incoming grads are zero-padded too)
+        ta, tb, inv = outs[3:]
+        return pub, (ta[:, :m], tb[:, :m], inv[:, :m])
+    return pub
 
 
 def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
                     bw_ref, scales_ref, gsa_ref, gsb_ref, gaw_ref, gbw_ref,
-                    gscales_ref, num_streams):
+                    gscales_ref, num_streams, state_refs=None):
     """Adjoint of the width connection over per-stream (T, d) residuals.
 
     Recomputes the cheap forward intermediates (rms stat, projections, tanh),
@@ -246,22 +317,33 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
         r_f32 = r_s.astype(jnp.float32)
         gb_s = gb[si].astype(jnp.float32)               # (T,)
 
-        # -- recompute forward intermediates (same casts as the fwd kernel) --
-        sq = jnp.sum(r_f32 * r_f32, axis=-1)
-        var = sq / d
-        inv = jax.lax.rsqrt(jnp.clip(var, min=1e-12))
+        if state_refs is not None:
+            # forward intermediates SAVED by the fwd kernel (bit-identical
+            # to the recompute below): skip the rms stat, both projections
+            # and both tanh's
+            ta_ref, tb_ref, inv_ref = state_refs
+            inv = inv_ref[si]                           # (T,) f32
+            ta = ta_ref[si]                             # (T, pad) f32
+            tb = tb_ref[si]                             # (T,) f32
+            var_ok = inv < 1e6   # inv==rsqrt(clip(var,1e-12)): var>1e-12
+        else:
+            # -- recompute forward intermediates (same casts as the fwd) --
+            sq = jnp.sum(r_f32 * r_f32, axis=-1)
+            var = sq / d
+            inv = jax.lax.rsqrt(jnp.clip(var, min=1e-12))
+            var_ok = var > 1e-12
         inv_dt = inv.astype(dt)
         n_s = r_s * inv_dt[:, None]                     # (T, d) dt
         n_f32 = n_s.astype(jnp.float32)
 
-        pa = jax.lax.dot_general(
-            n_s, aw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (T, pad)
-        ta = jnp.tanh(pa)
+        if state_refs is None:
+            pa = jax.lax.dot_general(
+                n_s, aw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (T, pad)
+            ta = jnp.tanh(pa)
+            pb = jnp.sum(n_f32 * bw_f32[None, :], axis=-1)  # (T,)
+            tb = jnp.tanh(pb)
         alpha = (ta * a_scale + sa_ref[si][None, :]).astype(dt)   # (T, pad)
-
-        pb = jnp.sum(n_f32 * bw_f32[None, :], axis=-1)  # (T,)
-        tb = jnp.tanh(pb)
 
         # -- mix adjoints --
         # g_alpha[m, t] = gm[t, m] . r_s[m];  columns beyond s+1 stay zero
@@ -299,7 +381,7 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
         # -- rms-norm backward --
         g_inv = jnp.sum(g_n * r_f32, axis=-1)           # (T,)
         g_r += g_n * inv[:, None]
-        g_sq = jnp.where(var > 1e-12,
+        g_sq = jnp.where(var_ok,
                          g_inv * (-0.5) * inv * inv * inv / d, 0.0)
         g_r += 2.0 * r_f32 * g_sq[:, None]
 
@@ -325,25 +407,28 @@ def _width_bwd_kernel(r_ref, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
         gr_ref[si] = g_rs[si].astype(gr_ref.dtype)
 
 
-def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gb0_ref,
-                            gcar_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
-                            scales_ref, gc_ref, gbr_ref, gbT_ref, gsa_ref,
-                            gsb_ref, gaw_ref, gbw_ref, gscales_ref, *,
-                            num_streams):
-    """Depth-fused adjoint: r[si] = carried[si] + branch * beta[si] is
-    recomputed in VMEM, and the residual grads split by the chain rule:
-    g_carried[si] = g_r[si];  g_branch = sum_si g_r[si] * beta[si];
-    g_beta[si] = sum_d g_r[si] * branch."""
-    s = num_streams
-    rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, s)
+def _width_bwd_kernel_save(r_ref, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
+                           aw_ref, bw_ref, scales_ref, ta_ref, tb_ref,
+                           inv_ref, gr_ref, gsa_ref, gsb_ref, gaw_ref,
+                           gbw_ref, gscales_ref, *, num_streams):
+    rs = [r_ref[si] for si in range(num_streams)]
     g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
                            aw_ref, bw_ref, scales_ref, gsa_ref, gsb_ref,
-                           gaw_ref, gbw_ref, gscales_ref, s)
+                           gaw_ref, gbw_ref, gscales_ref, num_streams,
+                           state_refs=(ta_ref, tb_ref, inv_ref))
+    for si in range(num_streams):
+        gr_ref[si] = g_rs[si].astype(gr_ref.dtype)
 
+
+def _fused_bwd_epilogue(g_rs, branch_ref, betaT_ref, gc_ref, gbr_ref,
+                        gbT_ref, num_streams):
+    """Split residual grads by the depth-connection chain rule:
+    g_carried[si] = g_r[si];  g_branch = sum_si g_r[si] * beta[si];
+    g_beta[si] = sum_d g_r[si] * branch."""
     branch_f32 = branch_ref[...].astype(jnp.float32)
     gbranch = jnp.zeros_like(branch_f32)
     gbeta_cols = []
-    for si in range(s):
+    for si in range(num_streams):
         gc_ref[si] = g_rs[si].astype(gc_ref.dtype)
         beta_col = betaT_ref[:, si][:, None].astype(jnp.float32)   # (T, 1)
         gbranch += g_rs[si] * beta_col
@@ -352,9 +437,64 @@ def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gb0_ref,
     gbT_ref[...] = jnp.stack(gbeta_cols, axis=-1).astype(gbT_ref.dtype)
 
 
+def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gb0_ref,
+                            gcar_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
+                            scales_ref, gc_ref, gbr_ref, gbT_ref, gsa_ref,
+                            gsb_ref, gaw_ref, gbw_ref, gscales_ref, *,
+                            num_streams):
+    """Depth-fused adjoint: r[si] = carried[si] + branch * beta[si] is
+    recomputed in VMEM, then the shared adjoint core + chain-rule split."""
+    s = num_streams
+    rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, s)
+    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
+                           aw_ref, bw_ref, scales_ref, gsa_ref, gsb_ref,
+                           gaw_ref, gbw_ref, gscales_ref, s)
+    _fused_bwd_epilogue(g_rs, branch_ref, betaT_ref, gc_ref, gbr_ref,
+                        gbT_ref, s)
+
+
+def _width_fused_bwd_kernel_save(carried_ref, branch_ref, betaT_ref, gb0_ref,
+                                 gcar_ref, gb_ref, sa_ref, sb_ref, aw_ref,
+                                 bw_ref, scales_ref, ta_ref, tb_ref, inv_ref,
+                                 gc_ref, gbr_ref, gbT_ref, gsa_ref, gsb_ref,
+                                 gaw_ref, gbw_ref, gscales_ref, *,
+                                 num_streams):
+    s = num_streams
+    rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, s)
+    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
+                           aw_ref, bw_ref, scales_ref, gsa_ref, gsb_ref,
+                           gaw_ref, gbw_ref, gscales_ref, s,
+                           state_refs=(ta_ref, tb_ref, inv_ref))
+    _fused_bwd_epilogue(g_rs, branch_ref, betaT_ref, gc_ref, gbr_ref,
+                        gbT_ref, s)
+
+
+def _pad_state(state, m, m_pad):
+    """Pad saved (ta, tb, inv) rows to the bwd's m_pad (zero rows are inert:
+    their incoming grads are zero-padded too)."""
+    if state is None or m_pad == m:
+        return state
+    ta, tb, inv = state
+    return (jnp.pad(ta, ((0, 0), (0, m_pad - m), (0, 0))),
+            jnp.pad(tb, ((0, 0), (0, m_pad - m))),
+            jnp.pad(inv, ((0, 0), (0, m_pad - m))))
+
+
+def _state_in_specs(s, block_m, pad_cols):
+    return [
+        pl.BlockSpec((s, block_m, pad_cols), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, block_m), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, block_m), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
 def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
                       dyn_alpha_scale, dyn_beta_w, dyn_beta_scale,
-                      g_branch_in, g_carried, g_beta, block_m: int = 128):
+                      g_branch_in, g_carried, g_beta, block_m: int = 128,
+                      state=None):
     # block_m 128 (not the fwd's 256): the adjoint holds several fp32
     # row-tile temporaries and double-buffers 2s+1 stream blocks — 256-row
     # tiles exceed the 16 MB scoped-VMEM limit at d=512
@@ -362,6 +502,7 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
     dt = residuals.dtype
 
     m_pad = round_up_to_multiple(m, block_m)
+    state = _pad_state(state, m, m_pad)
     if m_pad != m:
         residuals = jnp.pad(residuals, ((0, 0), (0, m_pad - m), (0, 0)))
         g_branch_in = jnp.pad(g_branch_in, ((0, m_pad - m), (0, 0)))
@@ -380,24 +521,33 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
     grid = (m_pad // block_m,)
     const = lambda i: (0, 0)
 
+    in_specs = [
+        pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),          # r
+        pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # g_branch_in
+        pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),          # g_carried
+        pl.BlockSpec((s, block_m), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),          # g_beta
+        pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
+    ]
+    operands = [residuals, g_branch_in, g_carried, g_beta, sa, sb, aw, bw,
+                scales]
+    kern = _width_bwd_kernel
+    if state is not None:
+        in_specs += _state_in_specs(s, block_m, pad_cols)
+        operands += list(state)
+        kern = _width_bwd_kernel_save
+
     g_r, g_sa, g_sb, g_aw, g_bw, g_scales = pl.pallas_call(
-        functools.partial(_width_bwd_kernel, num_streams=s),
+        functools.partial(kern, num_streams=s),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),          # r
-            pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),          # g_branch_in
-            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),          # g_carried
-            pl.BlockSpec((s, block_m), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),          # g_beta
-            pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),          # g_r
@@ -418,7 +568,7 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),   # sequential: accumulators
         interpret=_INTERPRET,
-    )(residuals, g_branch_in, g_carried, g_beta, sa, sb, aw, bw, scales)
+    )(*operands)
 
     p32 = static_alpha.dtype
     return (g_r[:, :m],
@@ -453,7 +603,8 @@ def _fused_prepare(carried, branch, betaT, static_alpha, dyn_alpha_w,
 
 def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
                         dyn_alpha_w, dyn_alpha_scale, dyn_beta_w,
-                        dyn_beta_scale, block_m: int = 256):
+                        dyn_beta_scale, block_m: int = 256,
+                        save_state: bool = False):
     s, m, d = carried.shape
     dt = carried.dtype
     carried, branch, betaT, sa, sb, aw, bw, scales, m_pad, pad_cols = \
@@ -463,8 +614,28 @@ def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
     grid = (m_pad // block_m,)
     const = lambda i: (0, 0)
 
-    branch_in, carried_out, beta = pl.pallas_call(
-        functools.partial(_width_fused_kernel, num_streams=s),
+    out_specs = [
+        pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, block_m), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m_pad, d), dt),
+        jax.ShapeDtypeStruct((s, m_pad, d), dt),
+        jax.ShapeDtypeStruct((s, m_pad), dt),
+    ]
+    kern = _width_fused_kernel
+    if save_state:
+        sp, sh = _state_specs(s, m_pad, block_m, pad_cols)
+        out_specs += sp
+        out_shape += sh
+        kern = _width_fused_kernel_save
+
+    outs = pl.pallas_call(
+        functools.partial(kern, num_streams=s),
         grid=grid,
         in_specs=[
             pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
@@ -479,32 +650,28 @@ def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, block_m), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m_pad, d), dt),
-            jax.ShapeDtypeStruct((s, m_pad, d), dt),
-            jax.ShapeDtypeStruct((s, m_pad), dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_INTERPRET,
     )(carried, branch, betaT, sa, sb, aw, bw, scales)
 
-    return branch_in[:m], carried_out[:, :m], beta[:, :m]
+    branch_in, carried_out, beta = outs[:3]
+    pub = (branch_in[:m], carried_out[:, :m], beta[:, :m])
+    if save_state:
+        ta, tb, inv = outs[3:]
+        return pub, (ta[:, :m], tb[:, :m], inv[:, :m])
+    return pub
 
 
 def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
                             static_beta, dyn_alpha_w, dyn_alpha_scale,
                             dyn_beta_w, dyn_beta_scale, g_branch_in,
-                            g_carried_in, g_beta, block_m: int = 128):
+                            g_carried_in, g_beta, block_m: int = 128,
+                            state=None):
     s, m, d = carried.shape
     dt = carried.dtype
     m_pad = round_up_to_multiple(m, block_m)
+    state = _pad_state(state, m, m_pad)
     if m_pad != m:
         g_branch_in = jnp.pad(g_branch_in, ((0, m_pad - m), (0, 0)))
         g_carried_in = jnp.pad(g_carried_in, ((0, 0), (0, m_pad - m), (0, 0)))
@@ -516,28 +683,37 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
     grid = (m_pad // block_m,)
     const = lambda i: (0, 0)
 
+    in_specs = [
+        pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),          # carried
+        pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # branch
+        pl.BlockSpec((block_m, s), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # betaT
+        pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # g_branch_in
+        pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),          # g_carried_in
+        pl.BlockSpec((s, block_m), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),          # g_beta
+        pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
+    ]
+    operands = [carried, branch, betaT, g_branch_in, g_carried_in, g_beta,
+                sa, sb, aw, bw, scales]
+    kern = _width_fused_bwd_kernel
+    if state is not None:
+        in_specs += _state_in_specs(s, block_m, pad_cols)
+        operands += list(state)
+        kern = _width_fused_bwd_kernel_save
+
     outs = pl.pallas_call(
-        functools.partial(_width_fused_bwd_kernel, num_streams=s),
+        functools.partial(kern, num_streams=s),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),          # carried
-            pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),          # branch
-            pl.BlockSpec((block_m, s), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),          # betaT
-            pl.BlockSpec((block_m, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),          # g_branch_in
-            pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),          # g_carried_in
-            pl.BlockSpec((s, block_m), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),          # g_beta
-            pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),          # g_carried
@@ -564,8 +740,7 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',)),   # sequential: accumulators
         interpret=_INTERPRET,
-    )(carried, branch, betaT, g_branch_in, g_carried_in, g_beta,
-      sa, sb, aw, bw, scales)
+    )(*operands)
 
     g_c, g_br, g_bT, g_sa, g_sb, g_aw, g_bw, g_scales = outs
     p32 = static_alpha.dtype
@@ -628,13 +803,21 @@ def width_connection_fused(carried, branch, betaT, static_alpha, static_beta,
 
 
 def _width_fused_fwd(*args):
-    return width_connection_fused(*args), args
+    if jax.default_backend() == 'tpu' or _INTERPRET:
+        # save the cheap forward intermediates (tanh projections, rms
+        # reciprocal — ~0.03% extra bytes) so the adjoint kernel skips its
+        # forward recompute
+        pub, state = _width_fused_pallas(*args, save_state=True)
+        return pub, (args, state)
+    return _width_fused_reference_split(*args), (args, None)
 
 
-def _width_fused_bwd(args, g):
+def _width_fused_bwd(res, g):
+    args, state = res
     g_branch_in, g_carried, g_beta = g
     if jax.default_backend() == 'tpu' or _INTERPRET:
-        return _width_fused_bwd_pallas(*args, g_branch_in, g_carried, g_beta)
+        return _width_fused_bwd_pallas(*args, g_branch_in, g_carried, g_beta,
+                                       state=state)
     _, vjp = jax.vjp(_width_fused_reference_split, *args)
     return vjp(g)
 
@@ -652,13 +835,18 @@ def width_connection(residuals, static_alpha, static_beta, dyn_alpha_w,
 
 
 def _width_fwd(*args):
-    return width_connection(*args), args
+    if jax.default_backend() == 'tpu' or _INTERPRET:
+        pub, state = _width_pallas(*args, save_state=True)
+        return pub, (args, state)
+    return _width_reference_split(*args), (args, None)
 
 
-def _width_bwd(args, g):
+def _width_bwd(res, g):
+    args, state = res
     g_branch_in, g_carried, g_beta = g
     if jax.default_backend() == 'tpu' or _INTERPRET:
-        return _width_bwd_pallas(*args, g_branch_in, g_carried, g_beta)
+        return _width_bwd_pallas(*args, g_branch_in, g_carried, g_beta,
+                                 state=state)
     _, vjp = jax.vjp(_width_reference_split, *args)
     return vjp(g)
 
