@@ -1,0 +1,26 @@
+#!/bin/bash
+# Run when the axon TPU tunnel recovers (it went down ~18:00 on 2026-08-17,
+# mid round 3). Verifies the post-outage commits on hardware, measures the
+# step, and warms the bench compile cache for the driver. Run from /root/repo.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+# 0. health: a tiny fresh compile (~1 min when healthy)
+timeout 300 python -c "
+import jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+a = jax.random.normal(jax.random.key(1), (257, 129), dtype=jnp.bfloat16)
+print('health ok:', float((jnp.sin(a) @ a.T).sum()))" || exit 1
+
+# 1. full train step executes + device time + top-source table (~10 min cold)
+timeout 1800 python scripts/_r3_check.py || {
+  echo 'STEP FAILED — bisect: HC kernels first';
+  E2TTS_HC_BACKEND=xla timeout 1800 python scripts/_r3_check.py;
+  exit 1; }
+
+# 2. warm the driver's bench cache end to end (train both variants + sample)
+BENCH_DEADLINE_S=3600 timeout 3700 python bench.py
+
+# 3. confirm the warm run lands inside the driver budget
+timeout 900 python bench.py
