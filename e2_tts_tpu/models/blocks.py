@@ -301,14 +301,22 @@ class FeedForward(nnx.Module):
 
     def __call__(self, x):
         h = self.proj_in(x)
+        training = self.dropout_rate > 0.0 and not self.deterministic
         if self.glu:
-            h, gate = jnp.split(h, 2, axis=-1)
-            h = h * jax.nn.gelu(gate, approximate=False)
+            # split + exact GELU + dropout in one fused VMEM pass on TPU
+            # (ops/geglu_kernel.py); the pure-XLA path everywhere else —
+            # same math, bit-identical dropout mask
+            from e2_tts_tpu.ops.dropout import _seed_from_key
+            from e2_tts_tpu.ops.geglu_kernel import geglu_dropout
+            rate = self.dropout_rate if training else 0.0
+            seed = (_seed_from_key(self.rngs.dropout()) if rate > 0.0
+                    else jnp.uint32(0))
+            h = geglu_dropout(h, seed, rate)
         else:
             h = jax.nn.gelu(h, approximate=False)
-        if self.dropout_rate > 0.0 and not self.deterministic:
-            from e2_tts_tpu.ops.dropout import hash_dropout
-            h = hash_dropout(h, self.dropout_rate, self.rngs.dropout())
+            if training:
+                from e2_tts_tpu.ops.dropout import hash_dropout
+                h = hash_dropout(h, self.dropout_rate, self.rngs.dropout())
         return self.proj_out(h)
 
 

@@ -29,23 +29,30 @@ def _seed_from_key(key: jax.Array) -> jax.Array:
     return seed
 
 
-def hash_dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
-    """Dropout with keep probability 1-rate and 1/(1-rate) scaling.
+_PRIMES = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F,
+           0x165667B1, 0xD3A2646D)
 
-    Counters come from per-axis broadcasted iotas (a flat `lax.iota` +
-    reshape defeats XLA's elementwise fusion and runs as a standalone pass);
-    each axis gets its own odd multiplier so distinct coordinates map to
-    distinct counters."""
+
+def hash_keep(shape, seed: jax.Array, rate: float) -> jax.Array:
+    """Boolean keep mask over `shape` with P(keep) = 1-rate, a pure function
+    of (seed, coordinates): counters come from per-axis broadcasted iotas (a
+    flat `lax.iota` + reshape defeats XLA's elementwise fusion and runs as a
+    standalone pass); each axis gets its own odd multiplier so distinct
+    coordinates map to distinct counters. The fused GEGLU kernel
+    (ops/geglu_kernel.py) regenerates this exact mask from block-local
+    coordinates."""
+    assert len(shape) <= len(_PRIMES)
+    ctr = seed
+    for axis in range(len(shape)):
+        i = jax.lax.broadcasted_iota(jnp.uint32, shape, axis)
+        ctr = ctr + i * _U(_PRIMES[axis])
+    return _fmix32(ctr) >= _U(_keep_threshold(rate))
+
+
+def hash_dropout(x: jax.Array, rate: float, key: jax.Array) -> jax.Array:
+    """Dropout with keep probability 1-rate and 1/(1-rate) scaling."""
     if rate <= 0.0:
         return x
     assert rate < 1.0
-    seed = _seed_from_key(key)
-    primes = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F,
-              0x165667B1, 0xD3A2646D)
-    assert x.ndim <= len(primes)
-    ctr = seed
-    for axis in range(x.ndim):
-        i = jax.lax.broadcasted_iota(jnp.uint32, x.shape, axis)
-        ctr = ctr + i * _U(primes[axis])
-    keep = _fmix32(ctr) >= _U(_keep_threshold(rate))
+    keep = hash_keep(x.shape, _seed_from_key(key), rate)
     return jnp.where(keep, x * (1.0 / (1.0 - rate)), 0.0).astype(x.dtype)
