@@ -10,12 +10,14 @@ and the gated hidden written once; the backward regenerates the mask and the
 GELU derivative from the saved projection output in one pass as well.
 
 Layout notes (why the halves arrive as two block windows): the GEGLU hidden
-is the (b, n, 2*inner) output of one fused projection GEMM. ``inner`` is a
-multiple of 64 but not always of 128 (text FF: 704), so an in-kernel lane
-slice at offset ``inner`` would be tile-misaligned; instead the SAME array is
-passed twice with block windows at lane-block offsets 0 and 1 — the DMA
-engine handles arbitrary element offsets, and each half lands tile-aligned
-in VMEM.
+is the (b, n, 2*inner) output of one fused projection GEMM. An in-kernel
+lane slice at offset ``inner`` would force a relayout; instead the SAME
+array is passed twice with block windows at lane-block offsets 0 and 1, and
+each half lands tile-aligned in VMEM. This requires ``inner % 128 == 0``
+(Mosaic: a block's last dim must be a multiple of 128 or the full array
+dim) — the speech FF (inner=1408) qualifies; the text FF (inner=704, a
+multiple of 64 only) falls back to the XLA reference path via
+``_use_pallas``.
 
 GELU uses the Abramowitz–Stegun 7.1.26 rational erf (|err| <= 1.5e-7 in f32
 — below bf16 resolution) because Mosaic has no erf lowering; the pure-XLA
@@ -105,9 +107,19 @@ def _bwd_kernel(seed_ref, h_ref, g_ref, go_ref, gh2_ref, *, rate, bn):
         [g_h.astype(dt), g_g.astype(dt)], axis=-1)
 
 
-def _pick_bn(n: int, cap: int) -> int | None:
-    """Largest divisor of n that is a multiple of 8 and <= cap (divisor
-    blocks: no ragged tail, no padding pass)."""
+# scoped-VMEM budget per kernel invocation. Mosaic's stack limit is 16 MB;
+# measured fwd usage at (bn=352, inner=1408) was 16.07 MB = 32.4 B per block
+# element (bf16 h/g/out windows + f32 intermediates). Budget with margin.
+_VMEM_BUDGET = 12_000_000
+_FWD_BYTES_PER_ELEM = 36
+_BWD_BYTES_PER_ELEM = 56     # + gout window, d-gelu temps, (bn, 2*inner) out
+
+
+def _pick_bn(n: int, inner: int, bytes_per_elem: int) -> int | None:
+    """Largest divisor of n that is a multiple of 8 and keeps the kernel's
+    scoped-VMEM stack under budget (divisor blocks: no ragged tail, no
+    padding pass)."""
+    cap = _VMEM_BUDGET // (bytes_per_elem * inner)
     for bn in range(min(cap, n), 7, -1):
         if n % bn == 0 and bn % 8 == 0:
             return bn
@@ -127,7 +139,7 @@ def _specs(inner, bn, n_blocks):
 def _fwd_pallas(h2, seed, rate):
     b, n, two_inner = h2.shape
     inner = two_inner // 2
-    bn = _pick_bn(n, 384)
+    bn = _pick_bn(n, inner, _FWD_BYTES_PER_ELEM)
     seed2d = seed.astype(jnp.uint32).reshape(1, 1)
     seed_spec, h_spec, g_spec = _specs(inner, bn, n // bn)
     return pl.pallas_call(
@@ -144,7 +156,7 @@ def _fwd_pallas(h2, seed, rate):
 def _bwd_pallas(h2, seed, rate, gout):
     b, n, two_inner = h2.shape
     inner = two_inner // 2
-    bn = _pick_bn(n, 192)
+    bn = _pick_bn(n, inner, _BWD_BYTES_PER_ELEM)
     seed2d = seed.astype(jnp.uint32).reshape(1, 1)
     seed_spec, h_spec, g_spec = _specs(inner, bn, n // bn)
     go_spec = pl.BlockSpec((1, bn, inner), lambda bi, j: (bi, j, 0),
@@ -178,9 +190,14 @@ def _use_pallas(h2, rate) -> bool:
         return False
     b, n, two_inner = h2.shape
     inner = two_inner // 2
-    if two_inner != 2 * inner or inner % 8 != 0:
+    # the halves arrive as block windows of shape (1, bn, inner) at lane-block
+    # offsets 0/1, and Mosaic requires a block's last dim to be a multiple of
+    # 128 (or the full array dim). inner is only guaranteed a multiple of 64
+    # (text FF: 704) — non-128-divisible inners take the XLA path.
+    if two_inner != 2 * inner or inner % 128 != 0:
         return False
-    return _pick_bn(n, 384) is not None and _pick_bn(n, 192) is not None
+    return (_pick_bn(n, inner, _FWD_BYTES_PER_ELEM) is not None
+            and _pick_bn(n, inner, _BWD_BYTES_PER_ELEM) is not None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

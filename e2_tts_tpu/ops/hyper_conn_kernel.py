@@ -114,10 +114,13 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
 
     # stream mix: mixed[t] = sum_s alpha[s][:, t] * r[s] (column casts of
     # alpha are (T, 1) — cheap; the big (T, d) casts are the cached rs_f32)
+    # NB minor-dim insertion ([:, None]) must happen on f32: Mosaic only
+    # lowers non-no-op minor-dim reshapes for 32-bit types (bf16 (T,)->(T,1)
+    # fails to compile; bf16 (T,1) broadcasts are fine)
     for t in range(s + 1):
-        acc = alphas[0][:, t][:, None].astype(jnp.float32) * rs_f32[0]
+        acc = alphas[0][:, t].astype(jnp.float32)[:, None] * rs_f32[0]
         for si in range(1, s):
-            acc += alphas[si][:, t][:, None].astype(jnp.float32) * rs_f32[si]
+            acc += alphas[si][:, t].astype(jnp.float32)[:, None] * rs_f32[si]
         if t == 0:
             b_ref[...] = acc.astype(dt)
         else:
@@ -154,8 +157,9 @@ def _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams):
     the (T, d) row tiles."""
     branch = branch_ref[...]
     dt = branch.dtype
+    # f32 before [:, None]: Mosaic rejects bf16 minor-dim insertion
     return [carried_ref[si]
-            + branch * betaT_ref[:, si][:, None].astype(dt)
+            + branch * betaT_ref[:, si].astype(jnp.float32)[:, None].astype(dt)
             for si in range(num_streams)]
 
 
@@ -332,8 +336,7 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
             var = sq / d
             inv = jax.lax.rsqrt(jnp.clip(var, min=1e-12))
             var_ok = var > 1e-12
-        inv_dt = inv.astype(dt)
-        n_s = r_s * inv_dt[:, None]                     # (T, d) dt
+        n_s = r_s * inv[:, None].astype(dt)             # (T, d) dt
         n_f32 = n_s.astype(jnp.float32)
 
         if state_refs is None:
@@ -430,7 +433,7 @@ def _fused_bwd_epilogue(g_rs, branch_ref, betaT_ref, gc_ref, gbr_ref,
     gbeta_cols = []
     for si in range(num_streams):
         gc_ref[si] = g_rs[si].astype(gc_ref.dtype)
-        beta_col = betaT_ref[:, si][:, None].astype(jnp.float32)   # (T, 1)
+        beta_col = betaT_ref[:, si].astype(jnp.float32)[:, None]   # (T, 1)
         gbranch += g_rs[si] * beta_col
         gbeta_cols.append(jnp.sum(g_rs[si] * branch_f32, axis=-1))  # (T,)
     gbr_ref[...] = gbranch.astype(gbr_ref.dtype)

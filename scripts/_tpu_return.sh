@@ -23,14 +23,18 @@ import jax, jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 from e2_tts_tpu.ops.geglu_kernel import geglu_dropout, _geglu_dropout_reference
 import numpy as np
-h2 = jax.random.normal(jax.random.key(0), (2, 96, 2816), dtype=jnp.bfloat16)
 seed = jnp.uint32(7)
-f = jax.jit(lambda a: geglu_dropout(a, seed, 0.1))
-g = jax.jit(jax.grad(lambda a: geglu_dropout(a, seed, 0.1).astype(jnp.float32).sum()))
-ok = np.asarray(f(h2), np.float32); rk = np.asarray(_geglu_dropout_reference(h2, seed, 0.1), np.float32)
-assert np.allclose(ok, rk, atol=3e-2, rtol=3e-2), np.abs(ok-rk).max()
-assert np.isfinite(np.asarray(g(h2), np.float32)).all()
-print('geglu kernel probe OK')" || exit 1
+# BOTH full-model shapes: speech FF (inner=1408, pallas) and text FF
+# (inner=704, must take the XLA fallback — round-3 lesson: the first probe
+# only tested 1408 and the text shape killed the bench train phase)
+for shape in [(16, 1056, 2816), (16, 1056, 1408)]:
+    h2 = jax.random.normal(jax.random.key(0), shape, dtype=jnp.bfloat16)
+    f = jax.jit(lambda a: geglu_dropout(a, seed, 0.1))
+    g = jax.jit(jax.grad(lambda a: geglu_dropout(a, seed, 0.1).astype(jnp.float32).sum()))
+    ok = np.asarray(f(h2), np.float32); rk = np.asarray(_geglu_dropout_reference(h2, seed, 0.1), np.float32)
+    assert np.allclose(ok, rk, atol=3e-2, rtol=3e-2), (shape, np.abs(ok-rk).max())
+    assert np.isfinite(np.asarray(g(h2), np.float32)).all(), shape
+    print('geglu probe OK', shape)" || exit 1
 
 # 1. PRIORITY: warm the driver's bench cache end to end (train both
 # variants + sample). The home cache went stale when the model changed

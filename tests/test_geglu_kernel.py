@@ -16,7 +16,7 @@ def interpret_mode():
     gk._INTERPRET = False
 
 
-def make_h2(b=2, n=96, inner=64, dtype=jnp.float32, seed=0):
+def make_h2(b=2, n=96, inner=128, dtype=jnp.float32, seed=0):
     h2 = jax.random.normal(jax.random.key(seed), (b, n, 2 * inner),
                            dtype=dtype) * 2.0
     return h2, jnp.uint32(0xDEADBEEF)
@@ -31,7 +31,7 @@ def test_fwd_matches_reference(dtype, rate, tol):
     assert gk._use_pallas(h2, rate)
     out_k = gk.geglu_dropout(h2, seed, rate)
     out_r = gk._geglu_dropout_reference(h2, seed, rate)
-    assert out_k.shape == out_r.shape == (2, 96, 64)
+    assert out_k.shape == out_r.shape == (2, 96, 128)
     np.testing.assert_allclose(np.asarray(out_k, np.float32),
                                np.asarray(out_r, np.float32),
                                atol=tol, rtol=tol)
@@ -60,7 +60,7 @@ def test_erf_approximation_accuracy():
 
 @pytest.mark.parametrize('rate', [0.0, 0.25])
 def test_grads_match_reference(rate):
-    h2, seed = make_h2(n=32, inner=64, seed=2)
+    h2, seed = make_h2(n=32, inner=128, seed=2)
 
     def loss_k(a):
         return (gk.geglu_dropout(a, seed, rate) ** 2).sum()
@@ -77,21 +77,26 @@ def test_grads_match_reference(rate):
 def test_routing_fallback_odd_shapes():
     """n with no multiple-of-8 divisor routes to the reference path and
     still differentiates."""
-    h2, seed = make_h2(n=10, inner=64)
+    h2, seed = make_h2(n=10, inner=128)
     assert not gk._use_pallas(h2, 0.1)
     out = gk.geglu_dropout(h2, seed, 0.1)
-    assert out.shape == (2, 10, 64)
+    assert out.shape == (2, 10, 128)
     g = jax.grad(lambda a: gk.geglu_dropout(a, seed, 0.1).sum())(h2)
     assert np.isfinite(np.asarray(g)).all()
 
 
-def test_misaligned_inner_window():
-    """inner NOT a multiple of 128 (text FF: 704): the two block windows at
-    lane-block offsets 0/1 must still address the correct halves."""
-    h2, seed = make_h2(n=32, inner=88, seed=7)
-    out_k = gk.geglu_dropout(h2, seed, 0.2)
-    out_r = gk._geglu_dropout_reference(h2, seed, 0.2)
-    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r), atol=2e-6)
+def test_routing_fallback_non_128_inner():
+    """inner NOT a multiple of 128 (text FF: 704) must take the XLA path:
+    Mosaic rejects a (.., inner) block at lane-block offset 1 unless inner is
+    128-divisible (round-3 hardware lesson — interpret mode does not enforce
+    this, so the assert on _use_pallas is the real regression guard)."""
+    for inner in (88, 704):
+        h2, seed = make_h2(n=32, inner=inner, seed=7)
+        assert not gk._use_pallas(h2, 0.2)
+        out_k = gk.geglu_dropout(h2, seed, 0.2)
+        out_r = gk._geglu_dropout_reference(h2, seed, 0.2)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   atol=2e-6)
 
 
 def test_feedforward_uses_kernel_in_interpret_mode():
