@@ -59,19 +59,27 @@ class EMA(nnx.Module):
     def initted(self) -> jax.Array:
         return self.step_initted[...]
 
-    def current_decay(self) -> jax.Array:
-        step = self.step[...]
+    def _decay_at(self, step) -> jax.Array:
         epoch = jnp.clip(step.astype(jnp.float32) - self.update_after_step - 1, min=0.0)
         value = 1.0 - (1.0 + epoch / self.inv_gamma) ** (-self.power)
         value = jnp.clip(value, self.min_value, self.beta)
         return jnp.where(epoch <= 0.0, 0.0, value)
+
+    def current_decay(self) -> jax.Array:
+        """Decay the ramp yields at the current counter value (ema-pytorch
+        `get_current_decay`; the counter there counts COMPLETED update calls,
+        as ours does after `update()` returns)."""
+        return self._decay_at(self.step[...])
 
     def update(self, model: nnx.Module):
         """One EMA tick (call once per optimizer step, like trainer.py:279)."""
         step = self.step[...]
         should_tick = (step % self.update_every) == 0
         warm = step <= self.update_after_step
-        decay = self.current_decay()
+        # ema-pytorch increments the counter BEFORE computing the decay, so
+        # the blend at pre-increment step k uses the ramp value at k+1
+        # (verified against the torch mirror in tests/test_oracles.py)
+        decay = self._decay_at(step + 1)
 
         online = nnx.state(model, nnx.Param)
         ema = nnx.state(self.ema_model, nnx.Param)

