@@ -232,7 +232,7 @@ class TransformerLayer(nnx.Module):
                  attn_laser, attn_laser_softclamp_value,
                  attn_fourier_embed_input, attn_fourier_embed_input_frac,
                  num_residual_streams, attn_kwargs, ff_kwargs, attn_backend,
-                 dtype, param_dtype, rngs):
+                 dtype, param_dtype, rngs, text_layers_before=None):
         common = dict(attn_kwargs=dict(attn_kwargs), ff_kwargs=dict(ff_kwargs),
                       attn_backend=attn_backend, dtype=dtype,
                       param_dtype=param_dtype)
@@ -249,10 +249,14 @@ class TransformerLayer(nnx.Module):
             rngs=rngs, **common)
 
         # hyper-connection branch indices continue the unrolled counter order:
-        # per layer [speech conv, attn, ff, (freq)], then [text conv, attn, ff]
+        # per layer [speech conv, attn, ff, (freq)], then [text conv, attn, ff].
+        # `text_layers_before` = how many of the PRECEDING layers carry text
+        # modules (min(ind, text_depth)) — with text_depth < depth the later
+        # layers have no text HCs, so the counter advances by n_speech only
         n_speech = 3 + int(has_freq_axis)
-        per_layer = n_speech + (3 if has_text else 0)
-        base = ind * per_layer
+        if text_layers_before is None:
+            text_layers_before = ind if has_text else 0
+        base = ind * n_speech + text_layers_before * 3
         mk_hc = lambda d, off: HyperConnection(
             d, num_residual_streams, base + off, param_dtype=param_dtype,
             rngs=rngs)
@@ -383,8 +387,6 @@ class Transformer(nnx.Module):
         self.scan_layers = scan_layers
         if scan_layers:
             assert depth >= 4, 'scan_layers needs depth >= 4'
-            assert text_depth == depth, \
-                'scan_layers requires text_depth == depth (homogeneous groups)'
             layer_cfg = dict(
                 dim=dim, dim_text=dim_text, heads=heads, dim_head=dim_head,
                 ff_mult=ff_mult, text_heads=text_heads,
@@ -398,30 +400,49 @@ class Transformer(nnx.Module):
                 attn_fourier_embed_input_frac=attn_fourier_embed_input_frac,
                 num_residual_streams=num_residual_streams, **common)
 
-            self.layer_first = TransformerLayer(
-                ind=0, has_text=True, is_first_block=True,
-                is_later_half=False, is_last_text_layer=False,
-                rngs=rngs, **layer_cfg)
+            t = text_depth
 
-            n_mid = depth // 2 - 1
+            def make_single(ind):
+                return TransformerLayer(
+                    ind=ind, has_text=ind < t, is_first_block=ind == 0,
+                    is_later_half=ind >= depth // 2,
+                    is_last_text_layer=ind == t - 1,
+                    text_layers_before=min(ind, t), rngs=rngs, **layer_cfg)
 
-            def make_group(inds, later_half):
-                @nnx.split_rngs(splits=n_mid)
+            def make_group(a, b):
+                has_text_seg = b <= t
+                later_half = a >= depth // 2
+
+                @nnx.split_rngs(splits=b - a)
                 @nnx.vmap(in_axes=(0, 0), out_axes=0)
                 def make(rngs_i, ind):
                     return TransformerLayer(
-                        ind=ind, has_text=True, is_first_block=False,
+                        ind=ind, has_text=has_text_seg, is_first_block=False,
                         is_later_half=later_half, is_last_text_layer=False,
+                        text_layers_before=jnp.minimum(ind, t),
                         rngs=rngs_i, **layer_cfg)
-                return make(rngs, jnp.arange(inds[0], inds[1]))
+                return make(rngs, jnp.arange(a, b))
 
-            self.mid_first = make_group((1, depth // 2), False)
-            self.mid_second = make_group((depth // 2, depth - 1), True)
-
-            self.layer_last = TransformerLayer(
-                ind=depth - 1, has_text=True, is_first_block=False,
-                is_later_half=True, is_last_text_layer=True,
-                rngs=rngs, **layer_cfg)
+            # the middle inds [1, depth-1) split into homogeneous runs at the
+            # points where a per-layer flag changes: the first/later-half
+            # boundary (skip push vs pop + skip_proj), the text->speech-only
+            # boundary, and the (unique, hence unrolled) last-text layer.
+            # text_depth == depth reproduces the original two-group plan.
+            bks = sorted({1, depth // 2, depth - 1}
+                         | ({t - 1, t} & set(range(2, depth - 1))))
+            self.layer_first = make_single(0)
+            mods, plan = [], []
+            for a, b in zip(bks[:-1], bks[1:]):
+                push = b <= depth // 2
+                if b - a == 1:
+                    mods.append(make_single(a))
+                    plan.append(('single', a, 1, push))
+                else:
+                    mods.append(make_group(a, b))
+                    plan.append(('scan', a, b - a, push))
+            self.scan_mid = nnx.List(mods)
+            self.scan_plan = plan
+            self.layer_last = make_single(depth - 1)
 
             self.final_norm = RMSNorm(dim, param_dtype=param_dtype)
             return
@@ -707,44 +728,67 @@ class Transformer(nnx.Module):
         x, te, skip0, av, tv, fv = call(
             layer_fn_push, self.layer_first, x, text_embed, None,
             None, None, None)
+        # UNet skips are LIFO across the WHOLE stack; with text_depth < depth
+        # the pop segments don't mirror the push segments, so keep one flat
+        # list of per-layer skip arrays (scan segments contribute their
+        # stacked output unstacked) and restack what each pop consumes
+        skips = [skip0]
 
         # vmap-created groups keep ONE rng key per stream (flax convention):
         # when dropout is live, split per layer at call time so draws differ
         # across layers; in eval no rng is drawn, so broadcast the RngState
         # (splitting would mutate rng counts, which breaks under plain
         # jax.grad closures and is pointless work)
-        n_mid = self.depth // 2 - 1
         attn0 = self.layer_first.speech.attn
         training = attn0.dropout_rate > 0.0 and not attn0.deterministic
-        if training:
-            maybe_split = nnx.split_rngs(splits=n_mid)
-            layer_axes = 0
-        else:
-            maybe_split = lambda f: f
-            layer_axes = nnx.StateAxes({nnx.RngState: None, ...: 0})
 
-        @maybe_split
-        @nnx.scan(in_axes=(nnx.Carry, layer_axes), out_axes=(nnx.Carry, 0))
-        def run_first(carry, layers):
-            x, te, av, tv, fv = carry
-            x, te, skip, av, tv, fv = call(scan_fn_push, layers, x, te,
-                                           None, av, tv, fv)
-            return (x, te, av, tv, fv), skip
+        for (kind, _start, count, push), mod in zip(self.scan_plan,
+                                                    self.scan_mid):
+            if kind == 'single':
+                if push:
+                    x, te, skip, av, tv, fv = call(
+                        layer_fn_push, mod, x, te, None, av, tv, fv)
+                    skips.append(skip)
+                else:
+                    x, te, _, av, tv, fv = call(
+                        layer_fn_pop, mod, x, te, skips.pop(), av, tv, fv)
+                continue
 
-        (x, te, av, tv, fv), mid_skips = run_first((x, te, av, tv, fv),
-                                                   self.mid_first)
+            if training:
+                maybe_split = nnx.split_rngs(splits=count)
+                layer_axes = 0
+            else:
+                maybe_split = lambda f: f
+                layer_axes = nnx.StateAxes({nnx.RngState: None, ...: 0})
 
-        @maybe_split
-        @nnx.scan(in_axes=(nnx.Carry, layer_axes, 0), out_axes=nnx.Carry)
-        def run_second(carry, layers, skip):
-            x, te, av, tv, fv = carry
-            x, te, _, av, tv, fv = call(scan_fn_pop, layers, x, te, skip,
-                                        av, tv, fv)
-            return (x, te, av, tv, fv)
+            if push:
+                @maybe_split
+                @nnx.scan(in_axes=(nnx.Carry, layer_axes),
+                          out_axes=(nnx.Carry, 0))
+                def run_push(carry, layers):
+                    x, te, av, tv, fv = carry
+                    x, te, skip, av, tv, fv = call(scan_fn_push, layers, x,
+                                                   te, None, av, tv, fv)
+                    return (x, te, av, tv, fv), skip
 
-        x, te, av, tv, fv = run_second((x, te, av, tv, fv), self.mid_second,
-                                       jnp.flip(mid_skips, 0))
+                (x, te, av, tv, fv), seg_skips = run_push(
+                    (x, te, av, tv, fv), mod)
+                skips.extend(seg_skips[i] for i in range(count))
+            else:
+                stacked = jnp.stack([skips.pop() for _ in range(count)])
+
+                @maybe_split
+                @nnx.scan(in_axes=(nnx.Carry, layer_axes, 0),
+                          out_axes=nnx.Carry)
+                def run_pop(carry, layers, skip):
+                    x, te, av, tv, fv = carry
+                    x, te, _, av, tv, fv = call(scan_fn_pop, layers, x, te,
+                                                skip, av, tv, fv)
+                    return (x, te, av, tv, fv)
+
+                x, te, av, tv, fv = run_pop((x, te, av, tv, fv), mod, stacked)
 
         x, te, _, av, tv, fv = call(layer_fn_pop, self.layer_last, x, te,
-                                    skip0, av, tv, fv)
+                                    skips.pop(), av, tv, fv)
+        assert not skips
         return x, te

@@ -1,10 +1,12 @@
 """scan_layers mode: numerics must match the unrolled backbone exactly.
 
-The two heterogeneous layers (first: no value-residual mix; last: no
-audio->text cross-condition) stay unrolled; the homogeneous middle halves run
-under nnx.scan over nnx.vmap-stacked params (models/transformer.py:_run_scan).
+The heterogeneous layers (first: no value-residual mix; the unique last-text
+layer: no audio->text cross-condition; last) stay unrolled; homogeneous
+middle runs go under nnx.scan over nnx.vmap-stacked params, with segment
+boundaries wherever a per-layer flag changes — which also covers the
+reference's shallow-text configs `1 <= text_depth <= depth` (e2_tts.py:574).
 Parity is checked by copying the unrolled model's params into the stacked
-layout leaf-for-leaf.
+layout leaf-for-leaf (models/transformer.py:_run_scan).
 """
 
 import jax
@@ -15,32 +17,38 @@ from flax import nnx
 
 from e2_tts_tpu.models.transformer import Transformer
 
-CFG = dict(dim=64, depth=4, heads=2, dim_head=16, num_registers=4,
+# depth 6 so both middle halves are real (multi-layer) scan groups
+CFG = dict(dim=64, depth=6, heads=2, dim_head=16, num_registers=4,
            max_seq_len=128, kernel_size=7, dropout=0.0)
 
 
 def _layer_state(m, i):
-    return {'speech': nnx.state(m.speech_layers[i], nnx.Param),
-            'text': nnx.state(m.text_layers[i], nnx.Param),
-            'speech_hcs': nnx.state(m.speech_hcs[i], nnx.Param),
-            'text_hcs': nnx.state(m.text_hcs[i], nnx.Param)}
+    st = {'speech': nnx.state(m.speech_layers[i], nnx.Param),
+          'speech_hcs': nnx.state(m.speech_hcs[i], nnx.Param)}
+    if m.text_layers[i] is not None:
+        st['text'] = nnx.state(m.text_layers[i], nnx.Param)
+        st['text_hcs'] = nnx.state(m.text_hcs[i], nnx.Param)
+    return st
 
 
 def _set_single(dst, st):
     nnx.update(dst.speech, st['speech'])
-    nnx.update(dst.text, st['text'])
     nnx.update(dst.speech_hcs, st['speech_hcs'])
-    nnx.update(dst.text_hcs, st['text_hcs'])
+    if 'text' in st:
+        nnx.update(dst.text, st['text'])
+        nnx.update(dst.text_hcs, st['text_hcs'])
 
 
 def copy_unrolled_into_scan(um, sm, depth):
     _set_single(sm.layer_first, _layer_state(um, 0))
     _set_single(sm.layer_last, _layer_state(um, depth - 1))
-    for group, inds in ((sm.mid_first, range(1, depth // 2)),
-                       (sm.mid_second, range(depth // 2, depth - 1))):
-        states = [_layer_state(um, i) for i in inds]
+    for (kind, start, count, _push), mod in zip(sm.scan_plan, sm.scan_mid):
+        if kind == 'single':
+            _set_single(mod, _layer_state(um, start))
+            continue
+        states = [_layer_state(um, i) for i in range(start, start + count)]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        _set_single(group, stacked)
+        _set_single(mod, stacked)
     nnx.update(sm.final_norm, nnx.state(um.final_norm, nnx.Param))
     for attr in ('abs_pos_emb', 'time_fourier', 'time_mlp'):
         nnx.update(getattr(sm, attr), nnx.state(getattr(um, attr), nnx.Param))
@@ -48,18 +56,22 @@ def copy_unrolled_into_scan(um, sm, depth):
         getattr(sm, attr)[...] = getattr(um, attr)[...]
 
 
-@pytest.fixture(scope='module')
-def pair():
-    um = Transformer(**CFG, rngs=nnx.Rngs(0))
-    sm = Transformer(**CFG, scan_layers=True, rngs=nnx.Rngs(1))
+def _make_pair(cfg):
+    um = Transformer(**cfg, rngs=nnx.Rngs(0))
+    sm = Transformer(**cfg, scan_layers=True, rngs=nnx.Rngs(1))
     um.eval(), sm.eval()
-    copy_unrolled_into_scan(um, sm, CFG['depth'])
+    copy_unrolled_into_scan(um, sm, cfg['depth'])
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 32, 64)), dtype=jnp.float32)
     te = jnp.asarray(rng.normal(size=(2, 32, 32)), dtype=jnp.float32)
     times = jnp.asarray([0.3, 0.7])
     mask = jnp.ones((2, 32), dtype=bool).at[1, 20:].set(False)
     return um, sm, x, te, times, mask
+
+
+@pytest.fixture(scope='module')
+def pair():
+    return _make_pair(CFG)
 
 
 def test_scan_matches_unrolled_forward(pair):
@@ -97,12 +109,45 @@ def test_scan_param_grads_match(pair):
     gu = nnx.grad(loss)(um)
     gs = nnx.grad(loss)(sm)
 
-    # compare one deep leaf: attention out-proj kernels of middle layers
-    d = CFG['depth']
-    un = [gu['speech_layers'][i]['attn']['to_out']['kernel'][...]
-          for i in range(1, d // 2)]
-    st = gs['mid_first']['speech']['attn']['to_out']['kernel'][...]
-    np.testing.assert_allclose(np.asarray(jnp.stack(un)), np.asarray(st),
+    # compare one deep leaf per scanned group: the attention out-proj kernels
+    checked = 0
+    for gi, (kind, start, count, _push) in enumerate(sm.scan_plan):
+        if kind != 'scan':
+            continue
+        un = [gu['speech_layers'][i]['attn']['to_out']['kernel'][...]
+              for i in range(start, start + count)]
+        st = gs['scan_mid'][gi]['speech']['attn']['to_out']['kernel'][...]
+        np.testing.assert_allclose(np.asarray(jnp.stack(un)), np.asarray(st),
+                                   atol=2e-4, rtol=2e-4)
+        checked += 1
+    assert checked >= 2, sm.scan_plan
+
+
+@pytest.mark.parametrize('text_depth', [1, 2, 3, 5])
+def test_scan_matches_unrolled_shallow_text(text_depth):
+    """The reference supports 1 <= text_depth <= depth everywhere
+    (e2_tts.py:574); scan mode must reproduce the unrolled numerics for
+    every segmentation the text boundary induces."""
+    cfg = {**CFG, 'text_depth': text_depth}
+    um, sm, x, te, times, mask = _make_pair(cfg)
+    out_u = um(x, times=times, mask=mask, text_embed=te)
+    out_s = sm(x, times=times, mask=mask, text_embed=te)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_s),
+                               atol=3e-6, rtol=1e-5)
+
+
+def test_scan_shallow_text_grads():
+    cfg = {**CFG, 'text_depth': 2}
+    um, sm, x, te, times, mask = _make_pair(cfg)
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(2, 32, 64)), dtype=jnp.float32)
+
+    def loss(m, x):
+        return (m(x, times=times, mask=mask, text_embed=te) * w).sum()
+
+    gu = nnx.grad(loss, argnums=1)(um, x)
+    gs = nnx.grad(loss, argnums=1)(sm, x)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(gs),
                                atol=2e-4, rtol=2e-4)
 
 
@@ -127,12 +172,6 @@ def test_scan_dropout_training_step():
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert float(l1) != float(l2), 'dropout keys must advance between steps'
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g1))
-
-
-def test_scan_requires_homogeneous_text_depth():
-    with pytest.raises(AssertionError):
-        Transformer(**{**CFG, 'text_depth': 2}, scan_layers=True,
-                    rngs=nnx.Rngs(0))
 
 
 def test_scan_through_e2tts():
