@@ -22,10 +22,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from e2_tts_tpu.utils.helpers import round_up_to_multiple
 
 _INTERPRET = False
 _LANE_PAD = 8   # pad the (s+1) weight column dim to a full sublane group
+
+# perf-sweep knobs (see scripts/_hc_micro.py); defaults are the measured best:
+# block 128 (256 exceeds scoped VMEM; the lane-positioned (s, block) blocks
+# need block % 128 == 0), and NO state saving — fused fwd+bwd measured
+# 1.129 ms with the adjoint recomputing its forward intermediates vs
+# 1.211 ms consuming saved state (r4 sweep: the extra HBM/VMEM state traffic
+# costs more than the tanh/rsqrt recompute it avoids)
+_BWD_BLOCK_M = int(os.environ.get('E2TTS_HC_BWD_BLOCK', '128'))
+_SAVE_STATE = os.environ.get('E2TTS_HC_SAVE_STATE', '0') != '0'
 
 
 def _width_reference(residuals, static_alpha, static_beta, dyn_alpha_w,
@@ -303,10 +314,13 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
     bw_f32 = bw_ref[0].astype(jnp.float32)   # (d,)
 
     # g_mixed arrives SPLIT (branch-input grad + carried grads) — no
-    # (s+1, ...) concat on the caller side. fp32 views are re-cast per use;
-    # Mosaic CSEs the repeated converts.
-    gm_f32 = lambda t: (gb0_ref[...] if t == 0
-                        else gc_ref[t - 1]).astype(jnp.float32)
+    # (s+1, ...) concat on the caller side. Cast each incoming grad tensor
+    # to f32 ONCE and hold it in VMEM: the mix adjoint below reads every
+    # gm tensor 2s times (s row-dots for ga + s multiply-adds for g_r),
+    # and per-use converts were a dominant VPU cost.
+    gms = [gb0_ref[...].astype(jnp.float32)] \
+        + [gc_ref[t].astype(jnp.float32) for t in range(s)]
+    gm_f32 = lambda t: gms[t]
 
     g_ascale = jnp.zeros((), jnp.float32)
     g_bscale = jnp.zeros((), jnp.float32)
@@ -496,8 +510,9 @@ def _state_in_specs(s, block_m, pad_cols):
 
 def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
                       dyn_alpha_scale, dyn_beta_w, dyn_beta_scale,
-                      g_branch_in, g_carried, g_beta, block_m: int = 128,
+                      g_branch_in, g_carried, g_beta, block_m: int | None = None,
                       state=None):
+    block_m = block_m or _BWD_BLOCK_M
     # block_m 128 (not the fwd's 256): the adjoint holds several fp32
     # row-tile temporaries and double-buffers 2s+1 stream blocks — 256-row
     # tiles exceed the 16 MB scoped-VMEM limit at d=512
@@ -669,8 +684,9 @@ def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
 def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
                             static_beta, dyn_alpha_w, dyn_alpha_scale,
                             dyn_beta_w, dyn_beta_scale, g_branch_in,
-                            g_carried_in, g_beta, block_m: int = 128,
+                            g_carried_in, g_beta, block_m: int | None = None,
                             state=None):
+    block_m = block_m or _BWD_BLOCK_M
     s, m, d = carried.shape
     dt = carried.dtype
     m_pad = round_up_to_multiple(m, block_m)
@@ -810,6 +826,8 @@ def _width_fused_fwd(*args):
         # save the cheap forward intermediates (tanh projections, rms
         # reciprocal — ~0.03% extra bytes) so the adjoint kernel skips its
         # forward recompute
+        if not _SAVE_STATE:
+            return _width_fused_pallas(*args), (args, None)
         pub, state = _width_fused_pallas(*args, save_state=True)
         return pub, (args, state)
     return _width_fused_reference_split(*args), (args, None)
@@ -839,6 +857,8 @@ def width_connection(residuals, static_alpha, static_beta, dyn_alpha_w,
 
 def _width_fwd(*args):
     if jax.default_backend() == 'tpu' or _INTERPRET:
+        if not _SAVE_STATE:
+            return _width_pallas(*args), (args, None)
         pub, state = _width_pallas(*args, save_state=True)
         return pub, (args, state)
     return _width_reference_split(*args), (args, None)
