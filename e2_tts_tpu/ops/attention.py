@@ -14,8 +14,11 @@ softmax core, so both backends share them.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from e2_tts_tpu.utils.helpers import exists
 
@@ -90,6 +93,21 @@ def attention(
     return out.astype(q.dtype)
 
 
+def lane_expand_matrix(heads: int, dim_head: int) -> jax.Array:
+    """(h, h*dh) 0/1 matrix E with E[i, i*dh:(i+1)*dh] = 1: ``s @ E``
+    broadcasts a per-head scalar (b, n, h) to packed lanes (b, n, h*dh) as
+    one MXU contraction — a 4-D reshape would force XLA into {1,3,2,0}
+    layouts with full-tensor copies (see ops/rotary.py). Only the numpy
+    array is cached (a cached jnp constant would be a leaked tracer)."""
+    return jnp.asarray(_lane_expand_matrix_np(heads, dim_head))
+
+
+@functools.cache
+def _lane_expand_matrix_np(heads: int, dim_head: int):
+    return np.kron(np.eye(heads, dtype=np.float32),
+                   np.ones((1, dim_head), dtype=np.float32))
+
+
 def attention_packed(
     q: jax.Array,                 # (b, n, h*dh) — heads packed in lanes
     k: jax.Array,
@@ -104,11 +122,26 @@ def attention_packed(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     backend: str = 'auto',
+    gate_logits: jax.Array | None = None,   # (b, n, h) per-head output gate
+    sp_mesh=None,                  # jax Mesh: ring attention over sp_axis
+    sp_axis: str = 'seq',
 ) -> jax.Array:
     """`attention` on projection-layout tensors: no head split/merge
     transposes anywhere on the Pallas path (the lane-packed kernels consume
     (b, n, h*dh) directly — see ops/flash_attention.py). Shapes the packed
-    kernels can't take, and the XLA fallback, transpose internally."""
+    kernels can't take, and the XLA fallback, transpose internally.
+
+    ``gate_logits`` applies the x-transformers per-head sigmoid output gate
+    (``gate_value_heads``, e2_tts.py:548-551): folded into the kernel
+    finalise on the packed path, an explicit lane-expanded multiply on the
+    fallback. Under LASER the gate must follow the post-aggregation log, so
+    it always applies outside the kernel.
+
+    ``sp_mesh``: sequence-parallel mode — q/k/v arrive sharded on the
+    ``sp_axis`` mesh axis and the core runs as ring attention
+    (parallel/sp.py) with the same softclamp/mask/dropout semantics (dropout
+    draws the dense kernel's counter-hash bits). LASER / gate / the value
+    residual are per-row elementwise and stay local."""
     from e2_tts_tpu.ops.flash_attention import packed_eligible
 
     b, n, D = q.shape
@@ -119,6 +152,27 @@ def attention_packed(
     if laser:
         v = jnp.exp(softclamp(v.astype(jnp.float32), laser_softclamp_value))
 
+    if exists(sp_mesh):
+        from e2_tts_tpu.parallel.sp import ring_attention
+        dropping = dropout_rate > 0.0 and exists(dropout_rng)
+        seed = (jax.random.randint(dropout_rng, (1,), 0,
+                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                if dropping else None)
+        out = ring_attention(
+            q, k, v.astype(q.dtype), mask, mesh=sp_mesh, heads=heads,
+            scale=scale, softclamp_value=softclamp_value, axis_name=sp_axis,
+            dropout_rate=dropout_rate if dropping else 0.0,
+            dropout_seed=seed)
+        if laser:
+            out = jnp.log(jnp.clip(out.astype(jnp.float32), min=1e-20))
+        if exists(gate_logits):
+            gate = jax.lax.dot_general(
+                jax.nn.sigmoid(gate_logits),
+                lane_expand_matrix(heads, dh).astype(gate_logits.dtype),
+                (((2,), (0,)), ((), ())))
+            out = out * gate.astype(out.dtype)
+        return out.astype(q.dtype)
+
     use_packed = (
         backend in ('pallas', 'auto')
         and jax.default_backend() == 'tpu'
@@ -126,6 +180,7 @@ def attention_packed(
         and n >= 128
         and (b * heads >= 64 or n > 2048)
     )
+    fold_gate = exists(gate_logits) and use_packed and not laser
 
     if use_packed:
         from e2_tts_tpu.ops.flash_attention import flash_attention_packed
@@ -138,6 +193,7 @@ def attention_packed(
             scale=scale, softclamp_value=softclamp_value,
             dropout_rate=dropout_rate if dropping else 0.0,
             dropout_seed=seed,
+            gate_logits=gate_logits if fold_gate else None,
         )
     else:
         to_bhnd = lambda t: t.reshape(b, n, heads, -1).transpose(0, 2, 1, 3)
@@ -151,6 +207,13 @@ def attention_packed(
 
     if laser:
         out = jnp.log(jnp.clip(out.astype(jnp.float32), min=1e-20))
+
+    if exists(gate_logits) and not fold_gate:
+        gate = jax.lax.dot_general(
+            jax.nn.sigmoid(gate_logits),
+            lane_expand_matrix(heads, dh).astype(gate_logits.dtype),
+            (((2,), (0,)), ((), ())))
+        out = out * gate.astype(out.dtype)
 
     return out.astype(q.dtype)
 

@@ -806,13 +806,23 @@ def _packed_lane_mask(shape_rows: int, lo: int, hi: int):
     return (lane >= lo) & (lane < hi)
 
 
-def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
-                       lse_ref, m_scr, l_scr, acc_scr, *, scale,
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale,
                        softclamp_value, dropout_rate, seq_len, dh,
-                       lane_blocks, total_heads):
+                       lane_blocks, total_heads, gated=False):
     """Grid (b * lane_blocks, nq, nk), kv innermost. Blocks are
     (1, block, LB) slabs of the packed (b, n, D) arrays; each grid step
-    processes LB // dh heads (all heads living in its lane block)."""
+    processes LB // dh heads (all heads living in its lane block).
+
+    ``gated``: a (b*h, n, 1) sublane per-head sigmoid value gate (the
+    x-transformers ``gate_value_heads``, e2_tts.py:548-551) multiplies into
+    the output INSIDE the finalise — the separate (b, n, D) elementwise
+    pass (and its lane-expansion) disappears. The gate scales o only, never
+    the softmax stats, so lse stays gate-free."""
+    if gated:
+        gate_ref, seed_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        seed_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+        gate_ref = None
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     LB = q_ref.shape[2]
@@ -907,8 +917,11 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
                 l_fin = jnp.clip(l_scr[hs][:, 0], min=1e-30)
                 lse_ref[hs] = (m_scr[hs][:, 0] + jnp.log(l_fin))[:, None]
                 lo, hi = 128 * t + hh * dh, 128 * t + (hh + 1) * dh
+                sc = 1.0 / l_fin
+                if gated:
+                    sc = sc * gate_ref[hs][:, 0]
                 recip = jnp.where((lane >= lo) & (lane < hi),
-                                  (1.0 / l_fin)[:, None], recip)
+                                  sc[:, None], recip)
         o_ref[0] = (acc_scr[...] * recip).astype(o_ref.dtype)
 
 
@@ -941,7 +954,9 @@ def _packed_choose(n: int, D: int, dh: int, dropping: bool, backward: bool):
 
 
 def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
-                          dropout_rate):
+                          dropout_rate, gate=None):
+    """``gate``: optional (b*h, n, 1) f32 per-head output gate values
+    (sigmoid already applied), folded into the finalise."""
     b, n, D = q.shape
     dh = D // heads
     block, LB = _packed_choose(n, D, dh, dropout_rate > 0.0, backward=False)
@@ -951,11 +966,18 @@ def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
     bias3 = bias[:, :, None]         # (b, n, 1) sublane
     grid = (b * NL, -(-n // block), -(-n // block))
 
+    gate_ops, gate_specs = (), ()
+    if exists(gate):
+        gate_ops = (gate,)
+        gate_specs = (pl.BlockSpec((H_blk, block, 1), lambda i, j, kb: (i, j, 0),
+                                   memory_space=pltpu.VMEM),)
+
     out, lse = pl.pallas_call(
         functools.partial(_packed_fwd_kernel, scale=scale,
                           softclamp_value=softclamp_value,
                           dropout_rate=dropout_rate, seq_len=n, dh=dh,
-                          lane_blocks=NL, total_heads=heads),
+                          lane_blocks=NL, total_heads=heads,
+                          gated=exists(gate)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block, LB), lambda i, j, kb: (i // NL, j, i % NL),
@@ -966,6 +988,7 @@ def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, 1), lambda i, j, kb: (i // NL, kb, 0),
                          memory_space=pltpu.VMEM),
+            *gate_specs,
             pl.BlockSpec(memory_space=pltpu.SMEM),     # dropout seed (1,)
         ],
         out_specs=[
@@ -988,21 +1011,34 @@ def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         interpret=_INTERPRET,
-    )(q, k, v, bias3, seed)
+    )(q, k, v, bias3, *gate_ops, seed)
 
     return out, lse
 
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
-                       delta_ref, seed_ref, dq_ref, dk_ref, dv_ref,
-                       dq_scr, dk_scr, dv_scr, *, scale, softclamp_value,
-                       dropout_rate, seq_len, dh, lane_blocks, total_heads):
+                       delta_ref, *rest, scale, softclamp_value,
+                       dropout_rate, seq_len, dh, lane_blocks, total_heads,
+                       gated=False):
     """Merged packed backward — grid (b * lane_blocks, nk, nq), q innermost.
     dk/dv accumulate in per-kv-block scratch; dq in a whole-sequence
     (n_pad, LB) fp32 scratch flushed on the last grid step (same scheme as
     `_bwd_merged_kernel`). Per-head math uses the lane-masking identities:
     scores/dq mask k, dk masks q, dv masks do — each contraction sees
-    exactly one head's lanes."""
+    exactly one head's lanes.
+
+    ``gated``: the fwd output was gated per head in its finalise; the
+    incoming do is multiplied by the same (b*h, n, 1) gate values here (the
+    adjoint of `o_final = o_pre * g` wrt the pre-gate output), so dq/dk/dv
+    flow through unchanged math. lse/delta are gate-invariant: delta is
+    computed from (do, o_final) outside, and rowsum(do * o_final) ==
+    rowsum(do_pre * o_pre)."""
+    if gated:
+        gate_ref, seed_ref, dq_ref, dk_ref, dv_ref, \
+            dq_scr, dk_scr, dv_scr = rest
+    else:
+        seed_ref, dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr = rest
+        gate_ref = None
     kb = pl.program_id(1)
     qb = pl.program_id(2)
     num_kb = pl.num_programs(1)
@@ -1039,6 +1075,18 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
     if ragged_q:
         q_all = _zero_rows_from(q_all, qbase, seq_len)
         do_all = _zero_rows_from(do_all, qbase, seq_len)
+
+    if gated:
+        # do_pre = do * g, assembled per head lane range (one VPU pass)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_q, LB), 1)
+        gl = jnp.zeros((block_q, LB), jnp.float32)
+        for t in range(n_tiles):
+            for hh in range(hpt):
+                hs = t * hpt + hh
+                lo, hi = 128 * t + hh * dh, 128 * t + (hh + 1) * dh
+                gl = jnp.where((lane >= lo) & (lane < hi),
+                               gate_ref[hs][:, 0][:, None], gl)
+        do_all = (do_all.astype(jnp.float32) * gl).astype(do_all.dtype)
 
     head0 = (pl.program_id(0) % lane_blocks) * (LB // dh)
     batch = pl.program_id(0) // lane_blocks
@@ -1106,8 +1154,21 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
         dq_ref[0] = dq_scr[:seq_len].astype(dq_ref.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _seg_reduce_matrix_np(heads: int, dim_head: int):
+    """(h*dh, h) 0/1 matrix S with S[i*dh:(i+1)*dh, i] = 1: ``x @ S`` sums
+    packed lanes per head — the per-head lane reduction as one MXU
+    contraction, avoiding the 4-D (b, n, h, dh) reshape whose layout
+    pathology costs full-tensor copies (see ops/rotary.py)."""
+    e = np.zeros((heads * dim_head, heads), dtype=np.float32)
+    for i in range(heads):
+        e[i * dim_head:(i + 1) * dim_head, i] = 1.0
+    return e
+
+
 def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
-                           softclamp_value, dropout_rate):
+                           softclamp_value, dropout_rate, gate=None,
+                           return_delta_bnh=False):
     b, n, D = q.shape
     dh = D // heads
     block, LB = _packed_choose(n, D, dh, dropout_rate > 0.0, backward=True)
@@ -1115,21 +1176,31 @@ def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
     H_blk = LB // dh
 
     bias3 = bias[:, :, None]
-    # delta = rowsum(do * o) per head, in the (b*h, n, 1) sublane layout —
-    # a segmented lane reduction XLA fuses with the surrounding elementwise
+    # delta = rowsum(do * o) per head in (b*h, n, 1) sublane layout, via the
+    # 0/1 segment matmul (gate-invariant: rowsum(do*o_final) ==
+    # rowsum(do_pre*o_pre) since the per-head gate cancels)
     prod = (g.astype(jnp.float32) * o.astype(jnp.float32))   # (b, n, D)
-    delta = prod.reshape(b, n, heads, dh).sum(-1)            # (b, n, h)
-    delta = delta.transpose(0, 2, 1).reshape(b * heads, n, 1)
+    delta_bnh = jax.lax.dot_general(
+        prod, jnp.asarray(_seg_reduce_matrix_np(heads, dh)),
+        (((2,), (0,)), ((), ())))                            # (b, n, h)
+    delta = delta_bnh.transpose(0, 2, 1).reshape(b * heads, n, 1)
 
     nq_blocks = -(-n // block)
     nk_blocks = -(-n // block)
     n_pad = nq_blocks * block
 
+    gate_ops, gate_specs = (), ()
+    if exists(gate):
+        gate_ops = (gate,)
+        gate_specs = (pl.BlockSpec((H_blk, block, 1), lambda i, j, qb: (i, qb, 0),
+                                   memory_space=pltpu.VMEM),)
+
     dq, dk, dv = pl.pallas_call(
         functools.partial(_packed_bwd_kernel, scale=scale,
                           softclamp_value=softclamp_value,
                           dropout_rate=dropout_rate, seq_len=n, dh=dh,
-                          lane_blocks=NL, total_heads=heads),
+                          lane_blocks=NL, total_heads=heads,
+                          gated=exists(gate)),
         grid=(b * NL, nk_blocks, nq_blocks),
         in_specs=[
             pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, qb, i % NL),
@@ -1146,6 +1217,7 @@ def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
                          memory_space=pltpu.VMEM),   # do
             pl.BlockSpec((H_blk, block, 1), lambda i, j, qb: (i, qb, 0),
                          memory_space=pltpu.VMEM),   # delta
+            *gate_specs,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed (1,)
         ],
         out_specs=[
@@ -1169,7 +1241,9 @@ def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
         interpret=_INTERPRET,
-    )(q, k, v, bias3, lse, g, delta, seed)
+    )(q, k, v, bias3, lse, g, delta, *gate_ops, seed)
+    if return_delta_bnh:
+        return dq, dk, dv, delta_bnh
     return dq, dk, dv
 
 
@@ -1200,6 +1274,52 @@ def _flash_packed_bwd(heads, scale, softclamp_value, dropout_rate, res, g):
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
+def _gate_values(gate_logits, heads, n):
+    """(b, n, h) logits -> (b*h, n, 1) f32 sigmoid values (sublane layout,
+    same as lse/delta). The transpose is tiny — h lanes."""
+    g = jax.nn.sigmoid(gate_logits.astype(jnp.float32))
+    return g.transpose(0, 2, 1).reshape(-1, n, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash_packed_gated(q, k, v, bias, seed, gate_logits, heads, scale,
+                        softclamp_value, dropout_rate):
+    """`_flash_packed` with the per-head sigmoid output gate
+    (x-transformers ``gate_value_heads``, e2_tts.py:548-551) folded into the
+    kernels: o_final = o_pre * sigmoid(gate_logits)[head]. The gate grad
+    rides the delta computation for free:
+        d gate_logits = rowsum_head(do * o_final) * (1 - sigmoid(logits))
+    since rowsum(do * o_final) = rowsum(do_pre * o_pre) * g / g."""
+    out, _ = _flash_packed_forward(
+        q, k, v, bias, seed, heads, scale, softclamp_value, dropout_rate,
+        gate=_gate_values(gate_logits, heads, q.shape[1]))
+    return out
+
+
+def _flash_packed_gated_fwd(q, k, v, bias, seed, gate_logits, heads, scale,
+                            softclamp_value, dropout_rate):
+    out, lse = _flash_packed_forward(
+        q, k, v, bias, seed, heads, scale, softclamp_value, dropout_rate,
+        gate=_gate_values(gate_logits, heads, q.shape[1]))
+    return out, (q, k, v, bias, seed, out, lse, gate_logits)
+
+
+def _flash_packed_gated_bwd(heads, scale, softclamp_value, dropout_rate,
+                            res, g):
+    q, k, v, bias, seed, o, lse, gate_logits = res
+    gv = jax.nn.sigmoid(gate_logits.astype(jnp.float32))      # (b, n, h)
+    gate = gv.transpose(0, 2, 1).reshape(-1, o.shape[1], 1)
+    dq, dk, dv, delta_bnh = _flash_packed_backward(
+        q, k, v, bias, seed, o, lse, g, heads, scale, softclamp_value,
+        dropout_rate, gate=gate, return_delta_bnh=True)
+    dlogits = (delta_bnh * (1.0 - gv)).astype(gate_logits.dtype)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, jnp.zeros_like(bias), dseed, dlogits
+
+
+_flash_packed_gated.defvjp(_flash_packed_gated_fwd, _flash_packed_gated_bwd)
+
+
 def flash_attention_packed(
     q: jax.Array,                    # (b, n, h*dh) — heads packed in lanes
     k: jax.Array,
@@ -1211,11 +1331,13 @@ def flash_attention_packed(
     softclamp_value: float | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int | None = None,
+    gate_logits: jax.Array | None = None,   # (b, n, h) per-head output gate
 ) -> jax.Array:
     """Transpose-free flash attention on projection-layout tensors.
     Semantically identical to `flash_attention` on the (b, h, n, dh)
     reshape/transpose of the same data (same dropout bits per global head
-    index). Requires `packed_eligible(heads, dim_head)`."""
+    index), optionally with the per-head sigmoid output gate fused into the
+    kernels. Requires `packed_eligible(heads, dim_head)`."""
     b, n, D = q.shape
     dh = D // heads
     assert packed_eligible(heads, dh), (heads, dh)
@@ -1235,6 +1357,9 @@ def flash_attention_packed(
     else:
         seed = jnp.zeros((1,), dtype=jnp.int32)
 
+    if exists(gate_logits):
+        return _flash_packed_gated(q, k, v, bias, seed, gate_logits, heads,
+                                   scale, softclamp_value, dropout_rate)
     return _flash_packed(q, k, v, bias, seed, heads, scale, softclamp_value,
                          dropout_rate)
 

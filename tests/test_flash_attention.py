@@ -245,6 +245,46 @@ def test_packed_matches_bhnd_kernel(b, h, n, dh, rate, softclamp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-4)
 
 
+@pytest.mark.parametrize('b,h,n,dh,rate', [
+    (2, 8, 256, 64, 0.0),    # flagship head geometry
+    (2, 8, 256, 64, 0.3),    # with in-kernel dropout
+    (2, 8, 200, 64, 0.0),    # ragged tail
+])
+def test_packed_gated_matches_outside_gate(b, h, n, dh, rate):
+    """The in-kernel per-head value gate (x-transformers gate_value_heads,
+    e2_tts.py:548-551) must match gating the ungated kernel's output
+    outside — values AND grads, including the gate-logit grad."""
+    D = h * dh
+    qp, kp, vp = make_packed(b, h, n, dh)
+    logits = jax.random.normal(jax.random.key(7), (b, n, h))
+    mask = jnp.asarray(np.random.default_rng(1).random((b, n)) > 0.2)
+    mask = mask.at[:, 0].set(True)
+    kw = dict(softclamp_value=50.0, dropout_rate=rate,
+              dropout_seed=42 if rate else None)
+
+    seg = np.kron(np.eye(h, dtype=np.float32),
+                  np.ones((dh, 1), dtype=np.float32))   # (D, h)
+
+    def loss_gated(q, k, v, z):
+        o = fa.flash_attention_packed(q, k, v, mask, heads=h,
+                                      gate_logits=z, **kw)
+        return (o.astype(jnp.float32) ** 2).sum(), o
+
+    def loss_ref(q, k, v, z):
+        o = fa.flash_attention_packed(q, k, v, mask, heads=h, **kw)
+        gate = jax.nn.sigmoid(z) @ jnp.asarray(seg).T   # lane expand
+        o = o * gate.astype(o.dtype)
+        return (o.astype(jnp.float32) ** 2).sum(), o
+
+    (_, og), gg = jax.value_and_grad(loss_gated, argnums=(0, 1, 2, 3),
+                                     has_aux=True)(qp, kp, vp, logits)
+    (_, oref), gref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3),
+                                         has_aux=True)(qp, kp, vp, logits)
+    np.testing.assert_allclose(np.asarray(og), np.asarray(oref), atol=1e-5)
+    for a, r in zip(gg, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-4)
+
+
 def test_packed_eligibility():
     assert fa.packed_eligible(8, 64)     # flagship speech attention
     assert fa.packed_eligible(4, 32)
