@@ -27,9 +27,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from e2_tts_tpu.ops.attention import NEG_INF, softclamp
+from e2_tts_tpu.ops.flash_attention import _fmix32, _keep_threshold, _U
 from e2_tts_tpu.utils.helpers import default, exists
 
 SEQ_AXIS = 'seq'
@@ -44,11 +44,37 @@ def make_seq_mesh(seq: int, data: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ('data', SEQ_AXIS))
 
 
-def _block_attend(q, k, v, kmask, m, l, acc, *, heads, scale, softclamp_value):
+def _ring_keep_mask(shape_bhqk, seed_u32, b0, row0, col0, rate: float):
+    """(b, h, nq, nk) keep mask drawing the SAME bits as the dense flash
+    kernel's in-kernel counter hash (ops/flash_attention.py::_keep_tile /
+    dropout_keep_mask): a pure function of (seed, global batch*head index,
+    absolute row, absolute col). `b0/row0/col0` are this shard's global
+    offsets — the ring path's dropout is therefore bit-identical to the
+    dense kernel's for the same seed, which the parity tests exploit."""
+    b, h, nq, nk = shape_bhqk
+    bhs = ((b0 + jnp.arange(b, dtype=jnp.uint32))[:, None] * _U(h)
+           + jnp.arange(h, dtype=jnp.uint32)[None, :])[:, :, None, None]
+    rows = (row0.astype(jnp.uint32)
+            + jnp.arange(nq, dtype=jnp.uint32))[None, None, :, None]
+    cols = (col0.astype(jnp.uint32)
+            + jnp.arange(nk, dtype=jnp.uint32))[None, None, None, :]
+    hh = _fmix32(seed_u32 ^ (bhs * _U(0x27D4EB2F)))
+    u = _fmix32(hh + rows * _U(0x9E3779B1) + cols * _U(0x85EBCA77), rounds=1)
+    return u >= _U(_keep_threshold(rate))
+
+
+def _block_attend(q, k, v, kmask, m, l, acc, *, heads, scale, softclamp_value,
+                  dropout_rate=0.0, dropout_seed=None, b0=None, row0=None,
+                  col0=None):
     """One online-softmax update of local queries against one k/v block.
 
     q: (b, nq, h*dh) fp32/bf16;  k/v: (b, nk, h*dh);  kmask: (b, nk) bool.
     m, l: (b, h, nq) fp32 running max / denominator; acc: (b, h, nq, dh) fp32.
+
+    With dropout, the denominator accumulates UN-dropped probabilities and
+    only the value accumulation sees the scaled keep mask — dropout acts
+    after softmax, matching torch ``F.dropout(attn, p)`` and the Pallas
+    flash kernels (flash_attention.py:23-25).
     """
     b, nq, D = q.shape
     dh = D // heads
@@ -71,19 +97,32 @@ def _block_attend(q, k, v, kmask, m, l, acc, *, heads, scale, softclamp_value):
     p = jnp.exp(s - m_new[..., None])                # (b, h, nq, nk)
     alpha = jnp.exp(jnp.clip(m - m_new, max=0.0))
     l_new = l * alpha + p.sum(axis=-1)
+    p_v = p
+    if dropout_rate > 0.0:
+        keep = _ring_keep_mask(p.shape, dropout_seed, b0, row0, col0,
+                               dropout_rate)
+        p_v = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
     acc_new = acc * alpha[..., None] + jnp.einsum(
-        'bhij,bhjd->bhid', p.astype(vh.dtype), vh,
+        'bhij,bhjd->bhid', p_v.astype(vh.dtype), vh,
         preferred_element_type=jnp.float32)
     return m_new, l_new, acc_new
 
 
-def _ring_attention_local(q, k, v, kmask, *, heads, scale, softclamp_value,
-                          axis_name):
+def _ring_attention_local(q, k, v, kmask, seed, *, heads, scale,
+                          softclamp_value, dropout_rate, axis_name,
+                          data_axis):
     """Per-shard body under shard_map: P ring steps of block attention."""
     b, nq, D = q.shape
     dh = D // heads
     p_size = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % p_size) for i in range(p_size)]
+
+    s_idx = jax.lax.axis_index(axis_name)
+    row0 = (s_idx * nq).astype(jnp.uint32)
+    b0 = (jax.lax.axis_index(data_axis).astype(jnp.uint32) * _U(b)
+          if exists(data_axis) else jnp.uint32(0))
+    seed_u32 = (jnp.asarray(seed).reshape(()).astype(jnp.uint32)
+                if exists(seed) else None)
 
     m0 = jnp.full((b, heads, nq), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, heads, nq), jnp.float32)
@@ -91,9 +130,15 @@ def _ring_attention_local(q, k, v, kmask, *, heads, scale, softclamp_value,
 
     def body(i, carry):
         k_c, v_c, mask_c, m, l, acc = carry
+        # the k/v block held at ring step i originated from shard
+        # (s_idx - i) mod P — its global column offset pins the dropout bits
+        col0 = (((s_idx - i) % p_size) * nq).astype(jnp.uint32)
         m, l, acc = _block_attend(q, k_c, v_c, mask_c, m, l, acc,
                                   heads=heads, scale=scale,
-                                  softclamp_value=softclamp_value)
+                                  softclamp_value=softclamp_value,
+                                  dropout_rate=dropout_rate,
+                                  dropout_seed=seed_u32, b0=b0, row0=row0,
+                                  col0=col0)
         # rotate k/v/mask one neighbour around the ring (skippable on the
         # last step, but a static rotation keeps the loop body uniform and
         # XLA overlaps it with the next block's compute)
@@ -112,15 +157,22 @@ def _ring_attention_local(q, k, v, kmask, *, heads, scale, softclamp_value,
 
 def ring_attention(q, k, v, mask=None, *, mesh: Mesh, heads: int,
                    scale: float | None = None, softclamp_value: float | None = 50.0,
+                   dropout_rate: float = 0.0, dropout_seed=None,
                    axis_name: str = SEQ_AXIS):
     """Sequence-parallel attention on packed (b, n, h*dh) tensors whose
     sequence axis is sharded over ``axis_name`` of ``mesh``.
 
     ``mask`` is the (b, n) key-padding mask (True = attend), sharded the
     same way. Returns the attention output in the same sharded layout.
+
+    ``dropout_rate``/``dropout_seed`` apply attention-prob dropout with the
+    SAME counter-hash bits as the dense Pallas kernels (a pure function of
+    seed and global coordinates — see _ring_keep_mask), so training
+    semantics are preserved across the ring, bit-for-bit.
     """
     dh = q.shape[-1] // heads
     scale = default(scale, dh ** -0.5)
+    dropping = dropout_rate > 0.0 and exists(dropout_seed)
 
     data_axes = tuple(a for a in mesh.axis_names if a != axis_name)
     dspec = data_axes[0] if data_axes else None
@@ -129,13 +181,63 @@ def ring_attention(q, k, v, mask=None, *, mesh: Mesh, heads: int,
 
     fn = functools.partial(_ring_attention_local, heads=heads, scale=scale,
                            softclamp_value=softclamp_value,
-                           axis_name=axis_name)
-    if mask is None:
-        local = lambda q_, k_, v_: fn(q_, k_, v_, None)
-        return shard_map(local, mesh=mesh, in_specs=(xspec, xspec, xspec),
-                         out_specs=xspec, check_rep=False)(q, k, v)
-    return shard_map(fn, mesh=mesh, in_specs=(xspec, xspec, xspec, mspec),
-                     out_specs=xspec, check_rep=False)(q, k, v, mask)
+                           dropout_rate=dropout_rate if dropping else 0.0,
+                           axis_name=axis_name, data_axis=dspec)
+    args, specs = [q, k, v], [xspec, xspec, xspec]
+    if exists(mask):
+        args.append(mask)
+        specs.append(mspec)
+    if dropping:
+        args.append(jnp.asarray(dropout_seed))
+        specs.append(P())    # replicated scalar seed
+    has_mask = exists(mask)
+
+    def local(*a):
+        i = 3
+        kmask = a[i] if has_mask else None
+        i += 1 if has_mask else 0
+        seed = a[i] if dropping else None
+        return fn(a[0], a[1], a[2], kmask, seed)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=tuple(specs),
+                         out_specs=xspec, check_vma=False)(*args)
+
+
+def enable_sequence_parallel(model, mesh: Mesh, axis_name: str = SEQ_AXIS):
+    """Route every `Attention` module in ``model`` through ring attention
+    over ``axis_name`` of ``mesh``: activations stay sequence-sharded through
+    the whole backbone (pointwise ops and the depthwise conv's halo exchange
+    are handled by GSPMD; the O(n^2) attention core is the one op that needs
+    the explicit ring). Gives the model a long-audio story the reference
+    lacks (its only cap: max_seq_len=8192 abs-pos table, e2_tts.py:537).
+
+    Frequency-axis attention modules (`freq_attn`) are skipped: their
+    "sequence" is the handful of frequency tokens, which rides a DIFFERENT
+    tensor axis and is never sharded.
+
+    Returns the number of attention modules routed.
+    """
+    from e2_tts_tpu.models.blocks import Attention
+    from e2_tts_tpu.utils.tensor import iter_module_items
+    n = 0
+    for path, module in iter_module_items(model):
+        if isinstance(module, Attention) and 'freq_attn' not in path:
+            module.sp_mesh = mesh
+            module.sp_axis = axis_name
+            n += 1
+    return n
+
+
+def disable_sequence_parallel(model):
+    """Undo `enable_sequence_parallel`."""
+    from e2_tts_tpu.models.blocks import Attention
+    from e2_tts_tpu.utils.tensor import iter_module_items
+    n = 0
+    for _, module in iter_module_items(model):
+        if isinstance(module, Attention):
+            module.sp_mesh = None
+            n += 1
+    return n
 
 
 def shard_sequence(x, mesh: Mesh, axis_name: str = SEQ_AXIS):

@@ -95,6 +95,14 @@ def masked_interpolate_1d(
     return jax.vmap(per_sample)(x, src_lens, tgt_lens)
 
 
+def iter_module_items(module):
+    """(path, submodule) pairs, depth-first — a thin indirection over
+    `flax.nnx.iter_modules` (the `m.iter_modules()` METHOD is deprecated in
+    flax 0.12)."""
+    from flax import nnx
+    return nnx.iter_modules(module)
+
+
 def set_compute_dtype(module, dtype):
     """Set the COMPUTE dtype of every nnx submodule that carries one.
 
@@ -103,9 +111,7 @@ def set_compute_dtype(module, dtype):
     post-hoc analog of constructing with ``dtype=`` — the trainer uses it
     for its mixed-precision passthrough (the reference's
     ``accelerate_kwargs={'mixed_precision': ...}``, trainer.py:149)."""
-    from flax import nnx
-
-    for _, m in module.iter_modules():
+    for _, m in iter_module_items(module):
         cls_attr = getattr(type(m), 'dtype', None)
         if isinstance(cls_attr, property):
             continue   # derived dtypes (e.g. LazyStreams) are not settable

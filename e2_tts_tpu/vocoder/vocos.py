@@ -208,37 +208,51 @@ class Vocos(nnx.Module):
 
     def load_torch_state_dict(self, sd):
         """Load the published torch Vocos checkpoint (state-dict of
-        `vocos.Vocos`, e.g. `charactr/vocos-mel-24khz`'s pytorch_model.bin).
-        Accepts torch tensors or numpy arrays."""
+        `vocos.Vocos`, e.g. `charactr/vocos-mel-24khz`'s pytorch_model.bin —
+        key list + shapes pinned in tests/fixtures/vocos_mel24khz_schema.json).
+        Accepts torch tensors or numpy arrays; `feature_extractor.*` keys
+        (torchaudio mel buffers) are ignored — this repo's `ops.mel.MelSpec`
+        is the frontend. A missing key raises KeyError; a mis-shaped tensor
+        (e.g. an un-transposed conv) raises ValueError even when numpy
+        broadcasting would silently accept it."""
         g = lambda k: jnp.asarray(np.asarray(sd[k]))
 
         # torch Conv1d weight (out, in/groups, k) -> flax (k, in/groups, out)
         conv = lambda k: jnp.transpose(g(k), (2, 1, 0))
         lin = lambda k: jnp.transpose(g(k), (1, 0))
 
+        def set_(param, value, key):
+            if tuple(param.shape) != tuple(value.shape):
+                raise ValueError(
+                    f'{key}: checkpoint tensor maps to shape {value.shape}, '
+                    f'model parameter is {tuple(param.shape)}')
+            param[...] = value
+
         bb = self.backbone
-        bb.embed.kernel[...] = conv('backbone.embed.weight')
-        bb.embed.bias[...] = g('backbone.embed.bias')
-        bb.norm.scale[...] = g('backbone.norm.weight')
-        bb.norm.bias[...] = g('backbone.norm.bias')
+        set_(bb.embed.kernel, conv('backbone.embed.weight'), 'backbone.embed.weight')
+        set_(bb.embed.bias, g('backbone.embed.bias'), 'backbone.embed.bias')
+        set_(bb.norm.scale, g('backbone.norm.weight'), 'backbone.norm.weight')
+        set_(bb.norm.bias, g('backbone.norm.bias'), 'backbone.norm.bias')
         for i, blk in enumerate(bb.blocks):
             p = f'backbone.convnext.{i}.'
-            blk.dwconv.kernel[...] = conv(p + 'dwconv.weight')
-            blk.dwconv.bias[...] = g(p + 'dwconv.bias')
-            blk.norm.scale[...] = g(p + 'norm.weight')
-            blk.norm.bias[...] = g(p + 'norm.bias')
-            blk.pwconv1.kernel[...] = lin(p + 'pwconv1.weight')
-            blk.pwconv1.bias[...] = g(p + 'pwconv1.bias')
-            blk.pwconv2.kernel[...] = lin(p + 'pwconv2.weight')
-            blk.pwconv2.bias[...] = g(p + 'pwconv2.bias')
-            blk.gamma[...] = g(p + 'gamma')
-        bb.final_norm.scale[...] = g('backbone.final_layer_norm.weight')
-        bb.final_norm.bias[...] = g('backbone.final_layer_norm.bias')
+            set_(blk.dwconv.kernel, conv(p + 'dwconv.weight'), p + 'dwconv.weight')
+            set_(blk.dwconv.bias, g(p + 'dwconv.bias'), p + 'dwconv.bias')
+            set_(blk.norm.scale, g(p + 'norm.weight'), p + 'norm.weight')
+            set_(blk.norm.bias, g(p + 'norm.bias'), p + 'norm.bias')
+            set_(blk.pwconv1.kernel, lin(p + 'pwconv1.weight'), p + 'pwconv1.weight')
+            set_(blk.pwconv1.bias, g(p + 'pwconv1.bias'), p + 'pwconv1.bias')
+            set_(blk.pwconv2.kernel, lin(p + 'pwconv2.weight'), p + 'pwconv2.weight')
+            set_(blk.pwconv2.bias, g(p + 'pwconv2.bias'), p + 'pwconv2.bias')
+            set_(blk.gamma, g(p + 'gamma'), p + 'gamma')
+        set_(bb.final_norm.scale, g('backbone.final_layer_norm.weight'),
+             'backbone.final_layer_norm.weight')
+        set_(bb.final_norm.bias, g('backbone.final_layer_norm.bias'),
+             'backbone.final_layer_norm.bias')
 
-        self.head.out.kernel[...] = lin('head.out.weight')
-        self.head.out.bias[...] = g('head.out.bias')
+        set_(self.head.out.kernel, lin('head.out.weight'), 'head.out.weight')
+        set_(self.head.out.bias, g('head.out.bias'), 'head.out.bias')
         if 'head.istft.window' in sd:
-            self.head.window[...] = g('head.istft.window')
+            set_(self.head.window, g('head.istft.window'), 'head.istft.window')
         return self
 
 

@@ -339,3 +339,89 @@ def test_ring_attention_no_mask_and_grads():
     for a, r in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=5e-5, rtol=5e-5)
+
+
+def test_ring_attention_dropout_matches_dense_hash_bits():
+    """Ring attention's dropout draws the SAME counter-hash bits as the
+    dense Pallas kernels (flash_attention.dropout_keep_mask), keyed on
+    GLOBAL coordinates — so a sequence-sharded training step reproduces the
+    dense step bit-for-bit. Oracle: dense softmax with the keep mask applied
+    post-softmax (denominator un-dropped, flash_attention.py:23-25)."""
+    from e2_tts_tpu.ops import flash_attention as fa
+    from e2_tts_tpu.ops.attention import softclamp, NEG_INF
+    from e2_tts_tpu.parallel.sp import (make_seq_mesh, ring_attention,
+                                        shard_sequence)
+
+    b, h, n, dh = 2, 4, 256, 32
+    D = h * dh
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(ks[0], (b, n, D))
+    k = jax.random.normal(ks[1], (b, n, D))
+    v = jax.random.normal(ks[2], (b, n, D))
+    mask = jnp.asarray(
+        np.random.default_rng(0).random((b, n)) > 0.25).at[:, :8].set(True)
+    rate, seed = 0.1, jnp.asarray([1234], jnp.int32)
+
+    def dense(q, k, v, mask):
+        qh = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        s = jnp.einsum('bhid,bhjd->bhij', qh, kh) * dh ** -0.5
+        s = jnp.where(mask[:, None, None, :], softclamp(s, 50.0), NEG_INF)
+        p = jax.nn.softmax(s, -1)
+        keep = fa.dropout_keep_mask(seed, b * h, n, rate).reshape(b, h, n, n)
+        pv = jnp.where(keep, p / (1 - rate), 0.0)
+        o = jnp.einsum('bhij,bhjd->bhid', pv, vh)
+        return o.transpose(0, 2, 1, 3).reshape(b, n, D)
+
+    ref = dense(q, k, v, mask)
+    mesh = make_seq_mesh(seq=4, data=2)
+    qs, ks_, vs = (shard_sequence(t, mesh) for t in (q, k, v))
+    ms = jax.device_put(mask, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, 'seq')))
+    out = jax.jit(lambda *a: ring_attention(
+        *a, mesh=mesh, heads=h, dropout_rate=rate, dropout_seed=seed))(
+        qs, ks_, vs, ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_model_level_sequence_parallel_forward_and_grads():
+    """enable_sequence_parallel routes EVERY backbone attention through the
+    ring: a full E2TTS loss + grads on a (data=2, seq=4) mesh match the
+    dense single-mesh run. This is the long-audio capability the reference
+    lacks (max_seq_len cap only, e2_tts.py:537) — activations stay
+    sequence-sharded through attention end to end."""
+    from e2_tts_tpu.models.e2tts import E2TTS
+    from e2_tts_tpu.parallel.sp import (make_seq_mesh, enable_sequence_parallel,
+                                        disable_sequence_parallel)
+
+    B, N = 4, 96   # + 32 registers = 128 -> 32 rows per seq shard
+    model = E2TTS(transformer=dict(dim=64, depth=2, heads=2, dim_head=16,
+                                   dropout=0.0, num_registers=32),
+                  rngs=nnx.Rngs(0))
+    model.eval()
+    mel = jax.random.normal(jax.random.key(0), (B, N, 100))
+    lens = jnp.asarray([96, 80, 64, 90], jnp.int32)
+    text = jnp.asarray(
+        np.random.default_rng(0).integers(32, 120, (B, 16)), jnp.int32)
+    key = jax.random.key(1)
+
+    def loss_fn(m):
+        return m(mel, text=text, lens=lens, key=key, drop_text_cond=False).loss
+
+    ref_loss, ref_grads = nnx.value_and_grad(loss_fn)(model)
+
+    mesh = make_seq_mesh(seq=4, data=2)
+    routed = enable_sequence_parallel(model, mesh)
+    assert routed == 4   # 2 speech + 2 text attentions at depth 2
+    sp_loss, sp_grads = nnx.jit(nnx.value_and_grad(loss_fn))(model)
+
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=1e-5)
+    for a, r in zip(jax.tree.leaves(sp_grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+    assert disable_sequence_parallel(model) == 4
+    plain_loss = nnx.jit(loss_fn)(model)
+    np.testing.assert_allclose(float(plain_loss), float(ref_loss), rtol=1e-6)

@@ -155,3 +155,102 @@ def test_vocos_decode_shape_and_jit():
     out = nnx.jit(lambda m, x: m.decode(x))(m, mel)
     assert out.shape == (3, 24 * 16)
     assert bool(jnp.isfinite(out).all())
+
+
+# -- real-checkpoint schema (VERDICT r3 missing #1 / next #5) -----------------
+
+def _load_schema():
+    import json, pathlib
+    path = (pathlib.Path(__file__).parent / 'fixtures'
+            / 'vocos_mel24khz_schema.json')
+    return {k: tuple(v) for k, v in json.load(open(path)).items()}
+
+
+class _RecordingDict(dict):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.accessed = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+
+def test_vocos_converter_accepts_real_checkpoint_schema():
+    """`load_torch_state_dict` against a synthetic state dict with the EXACT
+    key list + tensor shapes of the published charactr/vocos-mel-24khz
+    pytorch_model.bin (pinned in tests/fixtures/vocos_mel24khz_schema.json).
+    Catches key-map typos and shape mismatches without the file itself;
+    also asserts the converter consumes every non-feature-extractor key (a
+    silently-skipped weight would leave random init in the model)."""
+    schema = _load_schema()
+    rng = np.random.default_rng(0)
+    sd = _RecordingDict(
+        {k: rng.normal(scale=0.05, size=s).astype(np.float32)
+         for k, s in schema.items()})
+
+    jm = Vocos(rngs=nnx.Rngs(0))   # full mel-24khz geometry defaults
+    jm.load_torch_state_dict(sd)
+
+    expected = {k for k in schema if not k.startswith('feature_extractor.')}
+    assert sd.accessed == expected, (
+        sd.accessed.symmetric_difference(expected))
+
+    wav = jm.decode(jnp.asarray(
+        rng.normal(size=(1, 6, 100)).astype(np.float32)))
+    assert wav.shape == (1, 5 * 256)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_vocos_converter_failure_modes():
+    """Missing key -> KeyError; un-transposed (broadcast-compatible) conv
+    tensor -> ValueError. Both previously could pass silently."""
+    import pytest
+    schema = _load_schema()
+    rng = np.random.default_rng(1)
+    make_sd = lambda: {k: rng.normal(scale=0.05, size=s).astype(np.float32)
+                       for k, s in schema.items()}
+
+    sd = make_sd()
+    del sd['backbone.convnext.3.pwconv2.weight']
+    with pytest.raises(KeyError):
+        Vocos(rngs=nnx.Rngs(0)).load_torch_state_dict(sd)
+
+    sd = make_sd()
+    # transposed dwconv: (512, 1, 7) -> (7, 1, 512); the (2,1,0) map then
+    # yields (512, 1, 7) against the (7, 1, 512) flax kernel — must raise
+    sd['backbone.convnext.0.dwconv.weight'] = np.transpose(
+        sd['backbone.convnext.0.dwconv.weight'], (2, 1, 0))
+    with pytest.raises(ValueError):
+        Vocos(rngs=nnx.Rngs(0)).load_torch_state_dict(sd)
+
+
+def test_vocos_real_pretrained_weights_if_present():
+    """Load the actual published checkpoint when it exists in the image
+    (E2TTS_VOCOS_CKPT or the huggingface cache); skipped otherwise. When it
+    runs: every key/shape must match the pinned schema exactly, and decode
+    of a quiet mel must produce finite audio."""
+    import glob
+    import os
+    import pytest
+
+    candidates = []
+    env = os.environ.get('E2TTS_VOCOS_CKPT')
+    if env:
+        candidates.append(env)
+    candidates += glob.glob(os.path.expanduser(
+        '~/.cache/huggingface/hub/models--charactr--vocos-mel-24khz/'
+        'snapshots/*/pytorch_model.bin'))
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        pytest.skip('charactr/vocos-mel-24khz checkpoint not in image')
+
+    sd = {k: v.numpy() for k, v in torch.load(
+        path, map_location='cpu', weights_only=True).items()}
+    schema = _load_schema()
+    assert {k: tuple(v.shape) for k, v in sd.items()} == schema
+
+    jm = Vocos(rngs=nnx.Rngs(0)).load_torch_state_dict(sd)
+    mel = np.full((1, 20, 100), np.log(1e-3), np.float32)
+    wav = np.asarray(jm.decode(jnp.asarray(mel)))
+    assert np.isfinite(wav).all() and np.abs(wav).max() < 1.0
