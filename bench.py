@@ -101,6 +101,7 @@ def build_result():
         'sample_seconds_per_utterance': _r(R.get('sample_s'), 3),
         'sample_rtf_wall': _r(rtf, 5),
         'sample_rtf_device': _r(R.get('rtf_device'), 5),
+        'sample_rtf_with_vocoder_wall': _r(R.get('rtf_with_vocoder'), 5),
         'vs_2x_h100_estimate': round(fps / (2 * h100_ref), 3) if fps else None,
         'h100_ref_estimate_frames_per_sec': round(h100_ref, 1),
         'phases_done': sorted(R.get('phases', [])),
@@ -302,7 +303,41 @@ def bench_sample():
         except Exception as e:  # pragma: no cover
             log(f'sample: device RTF unavailable ({type(e).__name__}: {e})')
 
-    return device_rtf
+    def vocoder_rtf():
+        # end-to-end audio-out RTF: mel sampling + on-device JAX Vocos
+        # decode (the reference's default output IS audio through torch
+        # Vocos, e2_tts.py:1440-1451 — raw-mel RTF alone under-counts)
+        log('sample+vocoder: building jax-vocos model...')
+        vmodel = E2TTS(
+            transformer=dict(dim=DIM, depth=DEPTH, heads=HEADS,
+                             dim_head=DIM_HEAD, dropout=0.0,
+                             attn_backend='auto'),
+            use_vocos=True, vocos_backend='jax', sampling_rate=24_000,
+            rngs=nnx.Rngs(0), dtype=jnp.bfloat16)
+
+        def vrun(key):
+            return vmodel.sample(
+                prompt, text=text, duration=SAMPLE_FRAMES, steps=NFE_STEPS,
+                key=key, duration_bucket=SAMPLE_FRAMES)
+
+        jax.block_until_ready(vrun(jax.random.key(11)))
+        for i in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(vrun(jax.random.key(12 + i)))
+            dt = time.perf_counter() - t0
+            if (R.get('sample_s_with_vocoder') is None
+                    or dt < R['sample_s_with_vocoder']):
+                R['sample_s_with_vocoder'] = dt
+                R['rtf_with_vocoder'] = dt / audio_seconds
+            if i == 0:
+                R.setdefault('phases', []).append('sample_vocoder_wall')
+            if remaining() < 45 and i < 2:
+                log('sample+vocoder: stopping early (deadline near)')
+                break
+        log(f'sample+vocoder: wall {R["sample_s_with_vocoder"]:.3f} s -> '
+            f'RTF {R["rtf_with_vocoder"]:.4f}')
+
+    return device_rtf, vocoder_rtf
 
 
 def main():
@@ -316,7 +351,7 @@ def main():
     # phase order = importance under a cold cache: the with-text train step
     # (the round gate) first, then the sample RTF headline, then the
     # text-dropped train variant (refines the mix), then device-RTF extras
-    dropped_variant = device_rtf = None
+    dropped_variant = device_rtf = vocoder_rtf = None
     try:
         dropped_variant = bench_train()
     except Exception as e:
@@ -326,7 +361,7 @@ def main():
 
     if remaining() > 90:
         try:
-            device_rtf = bench_sample()
+            device_rtf, vocoder_rtf = bench_sample()
         except Exception as e:
             log(f'sample phase FAILED: {type(e).__name__}: {e}')
     else:
@@ -339,6 +374,11 @@ def main():
             log(f'text-dropped variant FAILED: {type(e).__name__}: {e}')
     if exists_fn(device_rtf) and remaining() > 60:
         device_rtf()
+    if exists_fn(vocoder_rtf) and remaining() > 90:
+        try:
+            vocoder_rtf()
+        except Exception as e:
+            log(f'vocoder RTF extra FAILED: {type(e).__name__}: {e}')
 
     emit('all phases done')
 

@@ -281,7 +281,11 @@ class FeedForward(nnx.Module):
     """GLU feedforward (x-transformers FeedForward(glu=True)): GEGLU
     projection, dropout, down projection. Inner dim uses the x-transformers
     2/3 * mult rule, rounded up to a multiple of 64 for MXU tiling (documented
-    deviation — reference inner dims like 1365 waste TPU lanes).
+    deviation — reference inner dims like 1365 waste TPU lanes). NB a
+    128-multiple rounding (text inner 704 -> 768, making the text FF
+    eligible for the fused GEGLU kernel) was MEASURED SLOWER end-to-end on
+    v5e (+2.4 ms/step at flagship shape): the +9% text-FF GEMM cost
+    outweighs the kernel-vs-XLA-pair win at text-stream scale. Keep 64.
 
     Dropout is the counter-hash variant (ops/dropout.py): threefry on the
     (b, n, inner) hidden costs ~0.9 ms/call at flagship shape on v5e."""
@@ -383,38 +387,43 @@ class Attention(nnx.Module):
         self.rngs = rngs
 
     def _fused_input_proj(self, x):
-        """q/k/v (+ value-head-gate and value-residual-mix logits) in ONE
-        GEMM. The five projections share the same input; as separate
-        nnx.Linear calls the two h-wide ones are (.., dim) x (dim, 8)
-        matmuls — 8 of 128 MXU lanes — and each costs a full read of x.
-        Concatenating the kernels (params stay separate: checkpoint/EMA/TP
-        layouts unchanged) makes one (.., dim) x (dim, 3*inner + 2h) GEMM;
-        the slice adjoints likewise batch the five dW GEMMs in the backward.
-        """
+        """q/k/v in ONE lane-aligned GEMM, the value-head-gate and
+        value-residual-mix logits in a second narrow one. The five
+        projections share the same input; as separate nnx.Linear calls the
+        two h-wide ones are (.., dim) x (dim, 8) matmuls — 8 of 128 MXU
+        lanes — and each costs a full read of x. Concatenating the kernels
+        (params stay separate: checkpoint/EMA/TP layouts unchanged) batches
+        the calls and their dW adjoints.
+
+        The h-wide heads get their OWN concat rather than riding the qkv
+        GEMM: 3*inner stays a multiple of 128 lanes while 3*inner + 2h does
+        not — the misaligned 1552-wide dW adjoints ran as
+        EmitInputBatchInLanes convolutions at ~4x off MXU peak (~0.28 ms
+        each, ~5.8 ms/step at flagship shape, found via the optimized-HLO
+        backend_config). The narrow GEMM's extra read of x is ~0.02 ms."""
         from flax.nnx.nn.dtypes import promote_dtype
         inner = self.heads * self.dim_head
-        kernels = [self.to_q.kernel[...], self.to_k.kernel[...],
-                   self.to_v.kernel[...]]
-        offs = [0, inner, 2 * inner, 3 * inner]
-        for lin in (self.to_v_head_gate, self.to_value_residual_mix):
-            if exists(lin):
-                kernels.append(lin.kernel[...])
-                offs.append(offs[-1] + lin.kernel.shape[1])
-        w = jnp.concatenate(kernels, axis=1)
+        w = jnp.concatenate([self.to_q.kernel[...], self.to_k.kernel[...],
+                             self.to_v.kernel[...]], axis=1)
         x, w = promote_dtype((x, w), dtype=self.to_q.dtype)
         fused = x @ w
-        q = fused[..., offs[0]:offs[1]]
-        k = fused[..., offs[1]:offs[2]]
-        v = fused[..., offs[2]:offs[3]]
-        rest = fused[..., offs[3]:]
+        q = fused[..., :inner]
+        k = fused[..., inner:2 * inner]
+        v = fused[..., 2 * inner:]
+
         gate_logits = mix_logits = None
-        if exists(self.to_v_head_gate):
-            lin = self.to_v_head_gate
-            gate_logits = rest[..., :self.heads] + lin.bias[...].astype(rest.dtype)
-            rest = rest[..., self.heads:]
-        if exists(self.to_value_residual_mix):
-            lin = self.to_value_residual_mix
-            mix_logits = rest[..., :self.heads] + lin.bias[...].astype(rest.dtype)
+        small = [lin for lin in (self.to_v_head_gate,
+                                 self.to_value_residual_mix) if exists(lin)]
+        if small:
+            wg = jnp.concatenate([lin.kernel[...] for lin in small], axis=1)
+            rest = x @ wg.astype(x.dtype)
+            if exists(self.to_v_head_gate):
+                gate_logits = (rest[..., :self.heads]
+                               + self.to_v_head_gate.bias[...].astype(rest.dtype))
+                rest = rest[..., self.heads:]
+            if exists(self.to_value_residual_mix):
+                mix_logits = (rest[..., :self.heads]
+                              + self.to_value_residual_mix.bias[...].astype(rest.dtype))
         return q, k, v, gate_logits, mix_logits
 
     def __call__(self, x: jax.Array, rotary_pos_emb: jax.Array | None = None,

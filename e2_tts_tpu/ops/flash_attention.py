@@ -808,16 +808,21 @@ def _packed_lane_mask(shape_rows: int, lo: int, hi: int):
 
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale,
                        softclamp_value, dropout_rate, seq_len, dh,
-                       lane_blocks, total_heads, gated=False):
+                       lane_blocks, total_heads, gated=False,
+                       gate_bnh=False):
     """Grid (b * lane_blocks, nq, nk), kv innermost. Blocks are
     (1, block, LB) slabs of the packed (b, n, D) arrays; each grid step
     processes LB // dh heads (all heads living in its lane block).
 
-    ``gated``: a (b*h, n, 1) sublane per-head sigmoid value gate (the
-    x-transformers ``gate_value_heads``, e2_tts.py:548-551) multiplies into
-    the output INSIDE the finalise — the separate (b, n, D) elementwise
-    pass (and its lane-expansion) disappears. The gate scales o only, never
-    the softmax stats, so lse stays gate-free."""
+    ``gated``: a per-head sigmoid value gate (the x-transformers
+    ``gate_value_heads``, e2_tts.py:548-551) multiplies into the output
+    INSIDE the finalise — the separate (b, n, D) elementwise pass (and its
+    lane-expansion) disappears. The gate scales o only, never the softmax
+    stats, so lse stays gate-free. ``gate_bnh``: the gate arrives as
+    (1, bq, h) blocks of the projection-native (b, n, h) tensor (heads in
+    lanes — no host-side (b, n, h) -> (b*h, n, 1) transpose, which XLA runs
+    as a pathological 8-lane strided copy); otherwise legacy (b*h, n, 1)
+    sublane blocks."""
     if gated:
         gate_ref, seed_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -919,7 +924,8 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale,
                 lo, hi = 128 * t + hh * dh, 128 * t + (hh + 1) * dh
                 sc = 1.0 / l_fin
                 if gated:
-                    sc = sc * gate_ref[hs][:, 0]
+                    sc = sc * (gate_ref[0][:, hs] if gate_bnh
+                               else gate_ref[hs][:, 0])
                 recip = jnp.where((lane >= lo) & (lane < hi),
                                   sc[:, None], recip)
         o_ref[0] = (acc_scr[...] * recip).astype(o_ref.dtype)
@@ -955,8 +961,11 @@ def _packed_choose(n: int, D: int, dh: int, dropping: bool, backward: bool):
 
 def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
                           dropout_rate, gate=None):
-    """``gate``: optional (b*h, n, 1) f32 per-head output gate values
-    (sigmoid already applied), folded into the finalise."""
+    """``gate``: optional (b, n, h) f32 per-head output gate values (sigmoid
+    already applied, projection-native head-lanes layout), folded into the
+    finalise. Consumed directly as (1, block, h) blocks when one lane block
+    covers all heads (NL == 1 — every flagship shape); the NL > 1 fallback
+    transposes host-side to the legacy (b*h, n, 1) sublane layout."""
     b, n, D = q.shape
     dh = D // heads
     block, LB = _packed_choose(n, D, dh, dropout_rate > 0.0, backward=False)
@@ -967,17 +976,25 @@ def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
     grid = (b * NL, -(-n // block), -(-n // block))
 
     gate_ops, gate_specs = (), ()
+    gate_bnh = exists(gate) and NL == 1
     if exists(gate):
-        gate_ops = (gate,)
-        gate_specs = (pl.BlockSpec((H_blk, block, 1), lambda i, j, kb: (i, j, 0),
-                                   memory_space=pltpu.VMEM),)
+        if gate_bnh:
+            gate_ops = (gate,)
+            gate_specs = (pl.BlockSpec((1, block, heads),
+                                       lambda i, j, kb: (i // NL, j, 0),
+                                       memory_space=pltpu.VMEM),)
+        else:
+            gate_ops = (gate.transpose(0, 2, 1).reshape(b * heads, n, 1),)
+            gate_specs = (pl.BlockSpec((H_blk, block, 1),
+                                       lambda i, j, kb: (i, j, 0),
+                                       memory_space=pltpu.VMEM),)
 
     out, lse = pl.pallas_call(
         functools.partial(_packed_fwd_kernel, scale=scale,
                           softclamp_value=softclamp_value,
                           dropout_rate=dropout_rate, seq_len=n, dh=dh,
                           lane_blocks=NL, total_heads=heads,
-                          gated=exists(gate)),
+                          gated=exists(gate), gate_bnh=gate_bnh),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block, LB), lambda i, j, kb: (i // NL, j, i % NL),
@@ -1019,7 +1036,7 @@ def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
                        delta_ref, *rest, scale, softclamp_value,
                        dropout_rate, seq_len, dh, lane_blocks, total_heads,
-                       gated=False):
+                       gated=False, bnh=False):
     """Merged packed backward — grid (b * lane_blocks, nk, nq), q innermost.
     dk/dv accumulate in per-kv-block scratch; dq in a whole-sequence
     (n_pad, LB) fp32 scratch flushed on the last grid step (same scheme as
@@ -1028,11 +1045,17 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
     exactly one head's lanes.
 
     ``gated``: the fwd output was gated per head in its finalise; the
-    incoming do is multiplied by the same (b*h, n, 1) gate values here (the
+    incoming do is multiplied by the same per-head gate values here (the
     adjoint of `o_final = o_pre * g` wrt the pre-gate output), so dq/dk/dv
     flow through unchanged math. lse/delta are gate-invariant: delta is
     computed from (do, o_final) outside, and rowsum(do * o_final) ==
-    rowsum(do_pre * o_pre)."""
+    rowsum(do_pre * o_pre).
+
+    ``bnh``: delta (and the gate, when gated) arrive as (1, block, h) blocks
+    of projection-native (b, n, h) tensors — no host-side transpose to the
+    (b*h, n, 1) sublane layout (NL == 1 only). lse keeps the sublane layout
+    in all cases: it is produced by the forward KERNEL in that layout, so no
+    host copy is ever involved."""
     if gated:
         gate_ref, seed_ref, dq_ref, dk_ref, dv_ref, \
             dq_scr, dk_scr, dv_scr = rest
@@ -1084,8 +1107,9 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
             for hh in range(hpt):
                 hs = t * hpt + hh
                 lo, hi = 128 * t + hh * dh, 128 * t + (hh + 1) * dh
-                gl = jnp.where((lane >= lo) & (lane < hi),
-                               gate_ref[hs][:, 0][:, None], gl)
+                g_col = (gate_ref[0][:, hs][:, None] if bnh
+                         else gate_ref[hs][:, 0][:, None])
+                gl = jnp.where((lane >= lo) & (lane < hi), g_col, gl)
         do_all = (do_all.astype(jnp.float32) * gl).astype(do_all.dtype)
 
     head0 = (pl.program_id(0) % lane_blocks) * (LB // dh)
@@ -1109,7 +1133,8 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
             do_h = jnp.where(qmask, do_t, 0)
 
             lse_col = lse_ref[hs]                        # (bq, 1)
-            delta_col = delta_ref[hs]
+            delta_col = (delta_ref[0][:, hs][:, None] if bnh
+                         else delta_ref[hs])
             if ragged_q:
                 row = qbase + jax.lax.broadcasted_iota(
                     jnp.int32, lse_col.shape, 0)
@@ -1176,31 +1201,52 @@ def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
     H_blk = LB // dh
 
     bias3 = bias[:, :, None]
-    # delta = rowsum(do * o) per head in (b*h, n, 1) sublane layout, via the
-    # 0/1 segment matmul (gate-invariant: rowsum(do*o_final) ==
-    # rowsum(do_pre*o_pre) since the per-head gate cancels)
+    # delta = rowsum(do * o) per head via the 0/1 segment matmul
+    # (gate-invariant: rowsum(do*o_final) == rowsum(do_pre*o_pre) since the
+    # per-head gate cancels). Stays in (b, n, h) — the kernel consumes it
+    # lane-wise when NL == 1; the legacy (b*h, n, 1) sublane transpose (a
+    # pathological 8-lane strided copy on XLA) only runs in the NL > 1
+    # fallback.
     prod = (g.astype(jnp.float32) * o.astype(jnp.float32))   # (b, n, D)
     delta_bnh = jax.lax.dot_general(
         prod, jnp.asarray(_seg_reduce_matrix_np(heads, dh)),
         (((2,), (0,)), ((), ())))                            # (b, n, h)
-    delta = delta_bnh.transpose(0, 2, 1).reshape(b * heads, n, 1)
 
     nq_blocks = -(-n // block)
     nk_blocks = -(-n // block)
     n_pad = nq_blocks * block
 
+    bnh = NL == 1
+    if bnh:
+        delta = delta_bnh
+        delta_spec = pl.BlockSpec((1, block, heads),
+                                  lambda i, j, qb: (i // NL, qb, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        delta = delta_bnh.transpose(0, 2, 1).reshape(b * heads, n, 1)
+        delta_spec = pl.BlockSpec((H_blk, block, 1),
+                                  lambda i, j, qb: (i, qb, 0),
+                                  memory_space=pltpu.VMEM)
+
     gate_ops, gate_specs = (), ()
     if exists(gate):
-        gate_ops = (gate,)
-        gate_specs = (pl.BlockSpec((H_blk, block, 1), lambda i, j, qb: (i, qb, 0),
-                                   memory_space=pltpu.VMEM),)
+        if bnh:
+            gate_ops = (gate,)
+            gate_specs = (pl.BlockSpec((1, block, heads),
+                                       lambda i, j, qb: (i // NL, qb, 0),
+                                       memory_space=pltpu.VMEM),)
+        else:
+            gate_ops = (gate.transpose(0, 2, 1).reshape(b * heads, n, 1),)
+            gate_specs = (pl.BlockSpec((H_blk, block, 1),
+                                       lambda i, j, qb: (i, qb, 0),
+                                       memory_space=pltpu.VMEM),)
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_packed_bwd_kernel, scale=scale,
                           softclamp_value=softclamp_value,
                           dropout_rate=dropout_rate, seq_len=n, dh=dh,
                           lane_blocks=NL, total_heads=heads,
-                          gated=exists(gate)),
+                          gated=exists(gate), bnh=bnh),
         grid=(b * NL, nk_blocks, nq_blocks),
         in_specs=[
             pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, qb, i % NL),
@@ -1215,8 +1261,7 @@ def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
                          memory_space=pltpu.VMEM),   # lse
             pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, qb, i % NL),
                          memory_space=pltpu.VMEM),   # do
-            pl.BlockSpec((H_blk, block, 1), lambda i, j, qb: (i, qb, 0),
-                         memory_space=pltpu.VMEM),   # delta
+            delta_spec,                              # delta
             *gate_specs,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # dropout seed (1,)
         ],
@@ -1274,11 +1319,13 @@ def _flash_packed_bwd(heads, scale, softclamp_value, dropout_rate, res, g):
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
-def _gate_values(gate_logits, heads, n):
-    """(b, n, h) logits -> (b*h, n, 1) f32 sigmoid values (sublane layout,
-    same as lse/delta). The transpose is tiny — h lanes."""
-    g = jax.nn.sigmoid(gate_logits.astype(jnp.float32))
-    return g.transpose(0, 2, 1).reshape(-1, n, 1)
+def _gate_values(gate_logits):
+    """(b, n, h) logits -> (b, n, h) f32 sigmoid values, kept in the
+    projection-native layout (the forward/backward wrappers feed them to the
+    kernels lane-wise; the legacy sublane transpose only exists inside the
+    NL > 1 fallback — host-side it is a pathological 8-lane strided copy,
+    ~4.5 ms/step at flagship shape)."""
+    return jax.nn.sigmoid(gate_logits.astype(jnp.float32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -1292,7 +1339,7 @@ def _flash_packed_gated(q, k, v, bias, seed, gate_logits, heads, scale,
     since rowsum(do * o_final) = rowsum(do_pre * o_pre) * g / g."""
     out, _ = _flash_packed_forward(
         q, k, v, bias, seed, heads, scale, softclamp_value, dropout_rate,
-        gate=_gate_values(gate_logits, heads, q.shape[1]))
+        gate=_gate_values(gate_logits))
     return out
 
 
@@ -1300,7 +1347,7 @@ def _flash_packed_gated_fwd(q, k, v, bias, seed, gate_logits, heads, scale,
                             softclamp_value, dropout_rate):
     out, lse = _flash_packed_forward(
         q, k, v, bias, seed, heads, scale, softclamp_value, dropout_rate,
-        gate=_gate_values(gate_logits, heads, q.shape[1]))
+        gate=_gate_values(gate_logits))
     return out, (q, k, v, bias, seed, out, lse, gate_logits)
 
 
@@ -1308,10 +1355,9 @@ def _flash_packed_gated_bwd(heads, scale, softclamp_value, dropout_rate,
                             res, g):
     q, k, v, bias, seed, o, lse, gate_logits = res
     gv = jax.nn.sigmoid(gate_logits.astype(jnp.float32))      # (b, n, h)
-    gate = gv.transpose(0, 2, 1).reshape(-1, o.shape[1], 1)
     dq, dk, dv, delta_bnh = _flash_packed_backward(
         q, k, v, bias, seed, o, lse, g, heads, scale, softclamp_value,
-        dropout_rate, gate=gate, return_delta_bnh=True)
+        dropout_rate, gate=gv, return_delta_bnh=True)
     dlogits = (delta_bnh * (1.0 - gv)).astype(gate_logits.dtype)
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
     return dq, dk, dv, jnp.zeros_like(bias), dseed, dlogits

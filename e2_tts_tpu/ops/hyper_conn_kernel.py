@@ -37,6 +37,13 @@ _LANE_PAD = 8   # pad the (s+1) weight column dim to a full sublane group
 # costs more than the tanh/rsqrt recompute it avoids)
 _BWD_BLOCK_M = int(os.environ.get('E2TTS_HC_BWD_BLOCK', '128'))
 _SAVE_STATE = os.environ.get('E2TTS_HC_SAVE_STATE', '0') != '0'
+# adjoint row-sum reductions (sq/pb/ga/g_inv — 8+ per stream): 'mxu' runs
+# them as (T, d) @ (d, 1) dots, 'vpu' (default) as cross-lane reduces.
+# MEASURED (v5e, r4 sweep at (4, 16x1056, 512) bf16): mxu is ~20% SLOWER
+# (fused fwd+bwd 1.358 vs 1.129 ms) — f32 MXU runs at 1/4 rate and an N=1
+# dot wastes 127/128 output lanes, so staging the product through the MXU
+# loses to Mosaic's native reduce trees. Kept as a sweep knob only.
+_MXU_ROWSUM = os.environ.get('E2TTS_HC_ROWSUM', 'vpu') == 'mxu'
 
 
 def _width_reference(residuals, static_alpha, static_beta, dyn_alpha_w,
@@ -310,6 +317,14 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
     d = rs[0].shape[-1]
     pad_cols = aw_ref.shape[-1]
 
+    if _MXU_ROWSUM:
+        ones_col = jnp.ones((d, 1), jnp.float32)
+        rowsum = lambda x: jax.lax.dot_general(
+            x, ones_col, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, 0]
+    else:
+        rowsum = lambda x: jnp.sum(x, axis=-1)
+
     aw = aw_ref[...]                    # (d, pad) dt
     bw_f32 = bw_ref[0].astype(jnp.float32)   # (d,)
 
@@ -346,7 +361,7 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
             var_ok = inv < 1e6   # inv==rsqrt(clip(var,1e-12)): var>1e-12
         else:
             # -- recompute forward intermediates (same casts as the fwd) --
-            sq = jnp.sum(r_f32 * r_f32, axis=-1)
+            sq = rowsum(r_f32 * r_f32)
             var = sq / d
             inv = jax.lax.rsqrt(jnp.clip(var, min=1e-12))
             var_ok = var > 1e-12
@@ -358,13 +373,13 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
                 n_s, aw, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)     # (T, pad)
             ta = jnp.tanh(pa)
-            pb = jnp.sum(n_f32 * bw_f32[None, :], axis=-1)  # (T,)
+            pb = rowsum(n_f32 * bw_f32[None, :])        # (T,)
             tb = jnp.tanh(pb)
         alpha = (ta * a_scale + sa_ref[si][None, :]).astype(dt)   # (T, pad)
 
         # -- mix adjoints --
         # g_alpha[m, t] = gm[t, m] . r_s[m];  columns beyond s+1 stay zero
-        ga_cols = [jnp.sum(gm_f32(t) * r_f32, axis=-1) for t in range(s + 1)]
+        ga_cols = [rowsum(gm_f32(t) * r_f32) for t in range(s + 1)]
         ga = jnp.stack(
             ga_cols + [jnp.zeros_like(ga_cols[0])] * (pad_cols - (s + 1)),
             axis=-1)                                    # (T, pad) f32
@@ -396,7 +411,7 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
         gbw_acc += jnp.sum(n_f32 * g_pb[:, None], axis=0)
 
         # -- rms-norm backward --
-        g_inv = jnp.sum(g_n * r_f32, axis=-1)           # (T,)
+        g_inv = rowsum(g_n * r_f32)                     # (T,)
         g_r += g_n * inv[:, None]
         g_sq = jnp.where(var_ok,
                          g_inv * (-0.5) * inv * inv * inv / d, 0.0)

@@ -81,6 +81,15 @@ class E2Trainer:
         mesh=None,                        # None = auto data mesh over devices
         param_sharding: str = 'replicated',   # 'replicated' (DDP-like) |
                                               # 'fsdp' (ZeRO-3-style)
+        sequence_parallel: int = 1,       # >1: route every backbone attention
+                                          # through ring attention over the
+                                          # `seq` axis of a (data, seq) mesh
+                                          # (parallel/sp.py) — long-audio
+                                          # training beyond one chip's
+                                          # activation memory. Requires
+                                          # (frames + num_registers) divisible
+                                          # by the seq axis (pick frame
+                                          # buckets accordingly).
         ema_kwargs: dict = dict(),
         use_switch_ema: bool = False,
         use_tensorboard: bool = False,
@@ -120,9 +129,27 @@ class E2Trainer:
 
         # distribution: data mesh, replicated or FSDP state, sharded batches
         assert param_sharding in ('replicated', 'fsdp')
+        self.sequence_parallel = int(sequence_parallel)
+        if self.sequence_parallel > 1:
+            from e2_tts_tpu.parallel.sp import (make_seq_mesh,
+                                                enable_sequence_parallel)
+            if not exists(mesh):
+                import jax as _jax
+                n = len(_jax.devices())
+                assert n % self.sequence_parallel == 0, (n, sequence_parallel)
+                mesh = make_seq_mesh(seq=self.sequence_parallel,
+                                     data=n // self.sequence_parallel)
+            assert 'seq' in mesh.axis_names, (
+                'sequence_parallel needs a mesh with a `seq` axis '
+                '(parallel.sp.make_seq_mesh)')
+            # both the online model and the EMA copy (the velocity-
+            # consistency teacher runs forwards too) ride the ring
+            routed = enable_sequence_parallel(model, mesh)
+            assert routed > 0
+            enable_sequence_parallel(self.ema, mesh)
         self.mesh = default(mesh, make_mesh())
         self.param_sharding = param_sharding
-        if len(self.mesh.devices) > 1:
+        if self.mesh.devices.size > 1:
             self._place_module(self.model)
             self._place_module(self.ema)
 
@@ -173,14 +200,14 @@ class E2Trainer:
         if self.grad_accumulation_steps > 1:
             tx = optax.MultiSteps(tx, self.grad_accumulation_steps)
         self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)
-        if len(self.mesh.devices) > 1:
+        if self.mesh.devices.size > 1:
             self._place_module(self.optimizer)
         if self.train_duration_predictor:
             dp_tx = optax.chain(optax.clip_by_global_norm(self.max_grad_norm),
                                 adopt(self.schedule))
             self.dp_optimizer = nnx.Optimizer(self.duration_predictor, dp_tx,
                                               wrt=nnx.Param)
-            if len(self.mesh.devices) > 1:
+            if self.mesh.devices.size > 1:
                 self._place_module(self.dp_optimizer)
         else:
             self.dp_optimizer = None
@@ -273,10 +300,10 @@ class E2Trainer:
               frame_bucket: int = 64):
         import random as py_random
 
-        n_dev = len(self.mesh.devices)
+        n_dev = dict(self.mesh.shape).get('data', self.mesh.devices.size)
         assert batch_size % n_dev == 0, (
             f'batch_size ({batch_size}) must be divisible by the number of '
-            f'devices in the data mesh ({n_dev})')
+            f'devices on the data axis ({n_dev})')
 
         model = self.model
         rng = py_random.Random(self.seed)
@@ -350,7 +377,7 @@ class E2Trainer:
                 device_batch = dict(mel=jnp.asarray(mel),
                                     mel_lens=jnp.asarray(mel_lens),
                                     text=jnp.asarray(text_ids))
-                if len(self.mesh.devices) > 1:
+                if self.mesh.devices.size > 1:
                     device_batch = shard_batch(device_batch, self.mesh)
 
                 # duration-predictor side loss. The reference computes and

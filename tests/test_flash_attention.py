@@ -214,6 +214,8 @@ def make_packed(b=2, h=8, n=256, dh=64, seed=0):
     (2, 8, 200, 64, 0.0, 50.0),     # ragged tail (no divisor block >= 128)
     (1, 4, 256, 32, 0.0, 50.0),     # 4 heads per lane tile, D=128
     (2, 4, 256, 64, 0.0, None),     # D=256, no softclamp
+    (1, 16, 256, 64, 0.3, 50.0),    # D=1024 -> NL=2 lane blocks (legacy
+                                    # sublane delta layout fallback)
 ])
 def test_packed_matches_bhnd_kernel(b, h, n, dh, rate, softclamp):
     """The packed kernel must match the (b, h, n, dh) kernel bit-for-bit in
@@ -249,6 +251,7 @@ def test_packed_matches_bhnd_kernel(b, h, n, dh, rate, softclamp):
     (2, 8, 256, 64, 0.0),    # flagship head geometry
     (2, 8, 256, 64, 0.3),    # with in-kernel dropout
     (2, 8, 200, 64, 0.0),    # ragged tail
+    (1, 16, 256, 64, 0.0),   # D=1024 -> NL=2 (legacy sublane gate layout)
 ])
 def test_packed_gated_matches_outside_gate(b, h, n, dh, rate):
     """The in-kernel per-head value gate (x-transformers gate_value_heads,

@@ -211,8 +211,10 @@ def test_tensor_parallel_scan_layers():
     mesh = make_2d_mesh(data=2, model=4)
 
     def build():
+        # depth 6 so the scan plan contains REAL stacked groups (at depth 4
+        # every middle segment has length 1 and stays unrolled)
         return E2TTS(
-            transformer=dict(dim=64, depth=4, heads=4, dim_head=16, ff_mult=2,
+            transformer=dict(dim=64, depth=6, heads=4, dim_head=16, ff_mult=2,
                              num_registers=2, max_seq_len=64, kernel_size=7,
                              dropout=0.0, num_residual_streams=1,
                              scan_layers=True, attn_backend='xla'),
@@ -229,9 +231,13 @@ def test_tensor_parallel_scan_layers():
     tp.eval()
     shard_module_tp(tp, mesh)
     # stacked mid-group kernels actually sharded, layer axis untouched
-    stacked = [p for p in tp._tp_sharded_paths if 'mid_' in p]
+    stacked = [p for p in tp._tp_sharded_paths if 'scan_mid' in p]
     assert stacked, tp._tp_sharded_paths
-    mid = tp.transformer.mid_first.speech.attn.to_q.kernel[...]
+    scan_idxs = [i for i, e in enumerate(tp.transformer.scan_plan)
+                 if e[0] == 'scan']
+    assert scan_idxs, tp.transformer.scan_plan
+    mid = tp.transformer.scan_mid[scan_idxs[0]].speech.attn.to_q.kernel[...]
+    assert mid.ndim == 3                     # (L, in, out) stacked
     spec = mid.sharding.spec
     assert spec[0] is None and 'model' in str(spec)
 
@@ -425,3 +431,31 @@ def test_model_level_sequence_parallel_forward_and_grads():
     assert disable_sequence_parallel(model) == 4
     plain_loss = nnx.jit(loss_fn)(model)
     np.testing.assert_allclose(float(plain_loss), float(ref_loss), rtol=1e-6)
+
+
+def test_trainer_sequence_parallel_e2e(tmp_path):
+    """E2Trainer(sequence_parallel=4): the public trainer builds the
+    (data=2, seq=4) mesh itself, routes the model's and EMA teacher's
+    attentions through the ring, and trains end to end with finite losses
+    (frame bucket 64 + 4 registers -> 68 rows, divisible by seq=4)."""
+    from e2_tts_tpu.models.e2tts import E2TTS
+    from e2_tts_tpu.training.trainer import E2Trainer
+    from e2_tts_tpu.training.data import ArrayDataset
+
+    model = E2TTS(transformer=dict(dim=64, depth=2, heads=2, dim_head=16,
+                                   ff_mult=2, num_registers=4,
+                                   max_seq_len=256, kernel_size=7,
+                                   dropout=0.0, num_residual_streams=2),
+                  rngs=nnx.Rngs(0))
+    tr = E2Trainer(model, sequence_parallel=4, log_file=None,
+                   checkpoint_path=str(tmp_path / 'ckpt'),
+                   num_warmup_steps=2)
+    assert dict(tr.mesh.shape) == {'data': 2, 'seq': 4}
+    assert model.transformer.speech_layers[0].attn.sp_mesh is tr.mesh
+
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(
+        [rng.normal(size=(100, 40 + 8 * i)).astype(np.float32)
+         for i in range(8)],
+        ['seq parallel %d' % i for i in range(8)])
+    tr.train(ds, epochs=1, batch_size=4, save_step=100, frame_bucket=64)
