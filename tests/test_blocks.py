@@ -126,7 +126,7 @@ def test_feedforward():
     out = ff(jnp.ones((2, 5, 16)))
     assert out.shape == (2, 5, 16)
     # GLU inner dim uses the 2/3 rule rounded to 64
-    assert ff.proj_out.kernel.value.shape[0] == 64  # int(16*4*2/3)=42 -> 64
+    assert ff.proj_out.kernel.shape[0] == 64  # int(16*4*2/3)=42 -> 64
 
 
 def test_feedforward_hash_dropout():

@@ -268,14 +268,14 @@ def test_hyper_connection_module_depth_and_init_match_mirror():
     th = torch.from_numpy(np.asarray(streams.reshape(s, b * n, d)).astype(np.float64))
     tb, tc, tbeta = _torch_hyper_connection(
         th,
-        torch.from_numpy(np.asarray(conn.static_alpha[...])).double(),
-        torch.from_numpy(np.asarray(conn.static_beta[...])).double(),
-        torch.from_numpy(np.asarray(conn.dynamic_alpha_fn[...])).double(),
+        torch.from_numpy(np.array(conn.static_alpha[...])).double(),
+        torch.from_numpy(np.array(conn.static_beta[...])).double(),
+        torch.from_numpy(np.array(conn.dynamic_alpha_fn[...])).double(),
         float(conn.dynamic_alpha_scale[...]),
-        torch.from_numpy(np.asarray(conn.dynamic_beta_fn[...])).double(),
+        torch.from_numpy(np.array(conn.dynamic_beta_fn[...])).double(),
         float(conn.dynamic_beta_scale[...]))
     t_out = tc + torch.from_numpy(
-        np.asarray(branch_out.reshape(b * n, d))).double()[None] * tbeta[..., None]
+        np.array(branch_out.reshape(b * n, d))).double()[None] * tbeta[..., None]
 
     np.testing.assert_allclose(np.asarray(out.reshape(s, b * n, d)),
                                t_out.numpy(), rtol=2e-5, atol=2e-5)
