@@ -395,16 +395,21 @@ class E2TTS(nnx.Module):
     ):
         """Zero-shot inference (e2_tts.py:1332-1466): prompt mel + text ->
         infilled mel (or waveform when a vocoder is attached)."""
+        from e2_tts_tpu.parallel.sp import sp_paused
         was_training = not self.deterministic
         self.eval()
         try:
-            return self._sample(
-                cond, text=text, lens=lens, duration=duration, steps=steps,
-                cfg_strength=cfg_strength, cfg_null_model=cfg_null_model,
-                max_duration=max_duration, vocoder=vocoder,
-                return_raw_output=return_raw_output,
-                save_to_filename=save_to_filename, key=key,
-                duration_bucket=duration_bucket, batched_cfg=batched_cfg)
+            # training-time sequence parallelism stays out of inference:
+            # sampling lengths (batch-1 prompts, duration buckets) rarely
+            # divide the ring's seq axis — pause the routing, restore after
+            with sp_paused(self, cfg_null_model):
+                return self._sample(
+                    cond, text=text, lens=lens, duration=duration, steps=steps,
+                    cfg_strength=cfg_strength, cfg_null_model=cfg_null_model,
+                    max_duration=max_duration, vocoder=vocoder,
+                    return_raw_output=return_raw_output,
+                    save_to_filename=save_to_filename, key=key,
+                    duration_bucket=duration_bucket, batched_cfg=batched_cfg)
         finally:
             if was_training:
                 self.train()
@@ -504,7 +509,8 @@ class E2TTS(nnx.Module):
         mask_np = np.asarray(mask)
         for mel, m in zip(mels_np, mask_np):
             one = np.asarray(db_to_amplitude(jnp.asarray(mel[m]), 1.0, 0.5))
-            wav = self.vocos.decode(torch.from_numpy(one.T[None]))
+            # .copy(): jnp->np arrays are read-only; torch.from_numpy warns
+            wav = self.vocos.decode(torch.from_numpy(one.T[None].copy()))
             audio.append(jnp.asarray(wav[0].numpy()))
         return audio
 

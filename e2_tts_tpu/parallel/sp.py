@@ -172,6 +172,15 @@ def ring_attention(q, k, v, mask=None, *, mesh: Mesh, heads: int,
     """
     dh = q.shape[-1] // heads
     scale = default(scale, dh ** -0.5)
+    n, p_size = q.shape[1], mesh.shape[axis_name]
+    if n % p_size != 0:
+        raise ValueError(
+            f'ring_attention: sequence length {n} is not divisible by the '
+            f'`{axis_name}` mesh axis ({p_size} shards). For the E2TTS '
+            f'backbone the attended length is frames + num_registers — pick '
+            f'a frame bucket so (frames + num_registers) % {p_size} == 0 '
+            f'(e.g. E2Trainer(..., sequence_parallel={p_size}) validates '
+            f'this per batch).')
     dropping = dropout_rate > 0.0 and exists(dropout_seed)
 
     data_axes = tuple(a for a in mesh.axis_names if a != axis_name)
@@ -226,6 +235,38 @@ def enable_sequence_parallel(model, mesh: Mesh, axis_name: str = SEQ_AXIS):
             module.sp_axis = axis_name
             n += 1
     return n
+
+
+class sp_paused:
+    """Context manager: temporarily route ``model``'s attentions densely.
+
+    Inference-time lengths (batch-1 prompts, duration-bucketed pads) rarely
+    satisfy the ring's divisibility precondition; `E2TTS.sample()` wraps
+    itself in this so a trainer-enabled model can sample without the caller
+    having to know about `disable_sequence_parallel` (restores the routing
+    on exit, including on error)."""
+
+    def __init__(self, *models):
+        self.models = [m for m in models if m is not None]
+        self._saved = []
+
+    def __enter__(self):
+        from e2_tts_tpu.models.blocks import Attention
+        from e2_tts_tpu.utils.tensor import iter_module_items
+        for model in self.models:
+            for _, module in iter_module_items(model):
+                if isinstance(module, Attention) and exists(module.sp_mesh):
+                    self._saved.append(
+                        (module, module.sp_mesh, module.sp_axis))
+                    module.sp_mesh = None
+        return self
+
+    def __exit__(self, *exc):
+        for module, mesh, axis in self._saved:
+            module.sp_mesh = mesh
+            module.sp_axis = axis
+        self._saved.clear()
+        return False
 
 
 def disable_sequence_parallel(model):

@@ -367,6 +367,19 @@ class E2Trainer:
                         f'must be (channels, frames) mel spectrograms '
                         f'(reference convention) — transposed input?')
                 mel = np.ascontiguousarray(np.moveaxis(batch['mel'], 1, 2))  # b n d
+                if self.sequence_parallel > 1:
+                    # fail here with the actionable knob, not as a shard_map
+                    # shape error inside the ring (parallel/sp.py)
+                    attended = mel.shape[1] + model.transformer.num_registers
+                    if attended % self.sequence_parallel != 0:
+                        raise ValueError(
+                            f'sequence_parallel={self.sequence_parallel} needs '
+                            f'(frames + num_registers) divisible by the seq '
+                            f'axis; this batch has {mel.shape[1]} frames + '
+                            f'{model.transformer.num_registers} registers = '
+                            f'{attended}. Pick `frame_bucket` so that '
+                            f'(bucketed frames + num_registers) % '
+                            f'{self.sequence_parallel} == 0.')
                 mel_lens = batch['mel_lengths']
                 text_ids = self.model.tokenizer(batch['text'])
                 # bucket text width too, for jit-cache stability

@@ -32,7 +32,6 @@ def step(model, optimizer, key):
 
 k = jax.random.key(1)
 # trace+compile (cache hit) and print the optimized module
-lowered = nnx.jit(step.__wrapped__ if hasattr(step, '__wrapped__') else step)
 c = step.lower(model, optimizer, k).compile()
 txt = c.as_text()
 open('/tmp/step_hlo.txt', 'w').write(txt)

@@ -21,17 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_train_step():
-    port = _free_port()
-    worker = pathlib.Path(__file__).parent / '_multihost_worker.py'
-    repo = str(pathlib.Path(__file__).parent.parent)
-
-    env = dict(os.environ)
-    env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
-    # the workers pick their own platform/devices; scrub the parent's test
-    # configuration so it doesn't leak through
-    env.pop('XLA_FLAGS', None)
-
+def _launch_workers(port, worker, repo, env):
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(port), str(pid)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -46,6 +36,29 @@ def test_two_process_distributed_train_step():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_distributed_train_step():
+    worker = pathlib.Path(__file__).parent / '_multihost_worker.py'
+    repo = str(pathlib.Path(__file__).parent.parent)
+
+    env = dict(os.environ)
+    env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+    # the workers pick their own platform/devices; scrub the parent's test
+    # configuration so it doesn't leak through
+    env.pop('XLA_FLAGS', None)
+
+    # _free_port closes the socket before the coordinator binds it (TOCTOU);
+    # retry with a fresh port if another process stole it in the gap.
+    for attempt in range(3):
+        port = _free_port()
+        procs, outs = _launch_workers(port, worker, repo, env)
+        bind_failed = any(p.returncode != 0 and (
+            'already in use' in out or 'Failed to bind' in out)
+            for p, out in zip(procs, outs))
+        if not bind_failed or attempt == 2:
+            break
 
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'worker {pid} failed:\n{out}'
