@@ -27,7 +27,18 @@ import os
 from e2_tts_tpu.utils.helpers import round_up_to_multiple
 
 _INTERPRET = False
-_LANE_PAD = 8   # pad the (s+1) weight column dim to a full sublane group
+_LANE_PAD = 8   # pad the weight column dim to a full sublane group
+
+# The beta head is FOLDED into the alpha head's MXU projection: the packed
+# (d, pad) weight carries dyn_alpha_w in columns 0..s and dyn_beta_w in
+# column s+1; statics pack the same way ((s, pad) with static_beta at
+# column s+1) and the tanh/scale/static chain runs ONCE on the (T, pad)
+# tile — beta used to cost a separate per-stream row-sum (an expensive
+# cross-lane reduce), a 1-lane tanh and its own adjoint chain/outputs.
+# In the adjoint the incoming g_beta rides column s+1 of the mix-adjoint
+# tile, so dW for BOTH heads falls out of one (d, pad) dot and the static
+# grads out of one (s, pad) column-sum.
+_BETA_COL = lambda s: s + 1
 
 # perf-sweep knobs (see scripts/_hc_micro.py); defaults are the measured best:
 # block 128 (256 exceeds scoped VMEM; the lane-positioned (s, block) blocks
@@ -73,7 +84,7 @@ def _width_reference(residuals, static_alpha, static_beta, dyn_alpha_w,
     return mixed, beta
 
 
-def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+def _width_core(rs, sa_ref, aw_ref, scales_ref,
                 b_ref, c_ref, beta_ref, num_streams, state_refs=None):
     """Width-connection math over a list of per-stream (T, d) residuals —
     shared by the plain kernel (reads them from HBM) and the depth-fused
@@ -84,9 +95,14 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
     single (s+1, ...) output forced a full-tensor slice in the forward and
     a pad+concat in the backward (~7 ms/step at flagship shape).
 
-    ``state_refs = (ta_ref, tb_ref, inv_ref)``, when given, saves the cheap
-    forward intermediates — tanh(alpha proj) (s, T, pad) f32, tanh(beta
-    proj) (s, T) f32, and the rms reciprocal (s, T) f32 — ~0.03% of the
+    ``aw_ref``/``sa_ref`` are the beta-FOLDED packs: alpha weight/static in
+    columns 0..s, beta weight/static at column s+1 (see _BETA_COL note) —
+    beta comes out of the shared (T, pad) projection/tanh/affine chain at
+    no extra cost.
+
+    ``state_refs = (ta_ref, inv_ref)``, when given, saves the cheap forward
+    intermediates — tanh of the packed projection (s, T, pad) f32 (beta's
+    tanh at column s+1) and the rms reciprocal (s, T) f32 — ~0.03% of the
     stream bytes, letting the adjoint kernel skip its forward recompute."""
     s = num_streams
     a_scale = scales_ref[0, 0]
@@ -95,8 +111,10 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
     dt = rs[0].dtype
     d = rs[0].shape[-1]
 
-    aw = aw_ref[...]                   # (d, pad) compute dtype
-    bw = bw_ref[...]                   # (1, d)
+    aw = aw_ref[...]                   # (d, pad) compute dtype, beta-folded
+    pad = aw.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, pad), 1)
+    scale_row = jnp.where(col == s + 1, b_scale, a_scale)     # (1, pad) f32
 
     # per-stream projections (python loop: s is a small static constant).
     # f32 views of each stream are cast ONCE and reused — the mix loop
@@ -104,7 +122,7 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
     # were the dominant VPU cost of this kernel.
     alphas = []
     betas = []
-    tbs, invs = [], []
+    invs = []
     rs_f32 = [r.astype(jnp.float32) for r in rs]
     for si in range(s):
         r_f32 = rs_f32[si]
@@ -116,18 +134,16 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
             normed, aw, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (T, pad)
         ta = jnp.tanh(proj)
-        alpha = ta * a_scale + sa_ref[si][None, :]             # (T, pad)
+        alpha = ta * scale_row + sa_ref[si][None, :]           # (T, pad)
+        # beta = column s+1, extracted as a masked full-width lane reduce:
+        # a direct alpha[:, s+1] keeps a lane-offset layout that Mosaic
+        # cannot reduce/relayout ("Not implemented: Offset change")
+        betas.append(jnp.sum(jnp.where(col == s + 1, alpha, 0.0), axis=-1))
         alphas.append(alpha.astype(dt))   # bf16 rounding matches the oracle
 
-        projb = jnp.sum(normed.astype(jnp.float32)
-                        * bw[0][None, :].astype(jnp.float32), axis=-1)
-        tb = jnp.tanh(projb)
-        betas.append(tb * b_scale + sb_ref[0, si])
-
         if state_refs is not None:
-            ta_ref, tb_ref, inv_ref = state_refs
+            ta_ref, inv_ref = state_refs
             ta_ref[si] = ta
-            tbs.append(tb)
             invs.append(inv)
 
     # stream mix: mixed[t] = sum_s alpha[s][:, t] * r[s] (column casts of
@@ -146,25 +162,24 @@ def _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
 
     beta_ref[...] = jnp.stack(betas).astype(dt)
     if state_refs is not None:
-        _, tb_ref, inv_ref = state_refs
-        tb_ref[...] = jnp.stack(tbs)
+        _, inv_ref = state_refs
         inv_ref[...] = jnp.stack(invs)
 
 
-def _width_kernel(r_ref, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+def _width_kernel(r_ref, sa_ref, aw_ref, scales_ref,
                   b_ref, c_ref, beta_ref, *, num_streams):
     rs = [r_ref[si] for si in range(num_streams)]
-    _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+    _width_core(rs, sa_ref, aw_ref, scales_ref,
                 b_ref, c_ref, beta_ref, num_streams)
 
 
-def _width_kernel_save(r_ref, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
-                       b_ref, c_ref, beta_ref, ta_ref, tb_ref, inv_ref, *,
+def _width_kernel_save(r_ref, sa_ref, aw_ref, scales_ref,
+                       b_ref, c_ref, beta_ref, ta_ref, inv_ref, *,
                        num_streams):
     rs = [r_ref[si] for si in range(num_streams)]
-    _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+    _width_core(rs, sa_ref, aw_ref, scales_ref,
                 b_ref, c_ref, beta_ref, num_streams,
-                state_refs=(ta_ref, tb_ref, inv_ref))
+                state_refs=(ta_ref, inv_ref))
 
 
 def _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams):
@@ -181,30 +196,28 @@ def _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams):
             for si in range(num_streams)]
 
 
-def _width_fused_kernel(carried_ref, branch_ref, betaT_ref, sa_ref, sb_ref,
-                        aw_ref, bw_ref, scales_ref, b_ref, c_ref, beta_ref, *,
+def _width_fused_kernel(carried_ref, branch_ref, betaT_ref, sa_ref,
+                        aw_ref, scales_ref, b_ref, c_ref, beta_ref, *,
                         num_streams):
     rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams)
-    _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+    _width_core(rs, sa_ref, aw_ref, scales_ref,
                 b_ref, c_ref, beta_ref, num_streams)
 
 
 def _width_fused_kernel_save(carried_ref, branch_ref, betaT_ref, sa_ref,
-                             sb_ref, aw_ref, bw_ref, scales_ref, b_ref,
-                             c_ref, beta_ref, ta_ref, tb_ref, inv_ref, *,
+                             aw_ref, scales_ref, b_ref,
+                             c_ref, beta_ref, ta_ref, inv_ref, *,
                              num_streams):
     rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, num_streams)
-    _width_core(rs, sa_ref, sb_ref, aw_ref, bw_ref, scales_ref,
+    _width_core(rs, sa_ref, aw_ref, scales_ref,
                 b_ref, c_ref, beta_ref, num_streams,
-                state_refs=(ta_ref, tb_ref, inv_ref))
+                state_refs=(ta_ref, inv_ref))
 
 
 def _state_specs(s, m_pad, block_m, pad_cols):
-    """out_specs/out_shapes for the saved adjoint state (ta, tb, inv)."""
+    """out_specs/out_shapes for the saved adjoint state (ta, inv)."""
     specs = [
         pl.BlockSpec((s, block_m, pad_cols), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((s, block_m), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((s, block_m), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
@@ -212,9 +225,28 @@ def _state_specs(s, m_pad, block_m, pad_cols):
     shapes = [
         jax.ShapeDtypeStruct((s, m_pad, pad_cols), jnp.float32),
         jax.ShapeDtypeStruct((s, m_pad), jnp.float32),
-        jax.ShapeDtypeStruct((s, m_pad), jnp.float32),
     ]
     return specs, shapes
+
+
+def _pack_heads(static_alpha, static_beta, dyn_alpha_w, dyn_beta_w,
+                dyn_alpha_scale, dyn_beta_scale, dt):
+    """Beta-folded parameter packs: (s, pad) statics / (d, pad) weights with
+    the alpha head in columns 0..s and the beta head at column s+1 (padded
+    so lane-dim slices stay aligned)."""
+    s = static_alpha.shape[0]
+    pad_cols = _LANE_PAD * ((s + 2 + _LANE_PAD - 1) // _LANE_PAD)
+    sa = jnp.concatenate([
+        static_alpha.astype(jnp.float32),
+        static_beta.astype(jnp.float32)[:, None],
+        jnp.zeros((s, pad_cols - (s + 2)), jnp.float32)], axis=1)
+    aw = jnp.concatenate([
+        dyn_alpha_w, dyn_beta_w[:, None],
+        jnp.zeros((dyn_alpha_w.shape[0], pad_cols - (s + 2)),
+                  dyn_alpha_w.dtype)], axis=1).astype(dt)
+    scales = jnp.stack([dyn_alpha_scale,
+                        dyn_beta_scale]).astype(jnp.float32)[None, :]
+    return sa, aw, scales, pad_cols
 
 
 def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
@@ -227,14 +259,9 @@ def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
     if m_pad != m:
         residuals = jnp.pad(residuals, ((0, 0), (0, m_pad - m), (0, 0)))
 
-    # pad the (s+1) column dim so lane-dim slices stay aligned
-    pad_cols = _LANE_PAD * ((s + 1 + _LANE_PAD - 1) // _LANE_PAD)
-    sa = jnp.pad(static_alpha.astype(jnp.float32),
-                 ((0, 0), (0, pad_cols - (s + 1))))
-    aw = jnp.pad(dyn_alpha_w.astype(dt), ((0, 0), (0, pad_cols - (s + 1))))
-    bw = dyn_beta_w.astype(dt)[None, :]                       # (1, d)
-    sb = static_beta.astype(jnp.float32)[None, :]             # (1, s)
-    scales = jnp.stack([dyn_alpha_scale, dyn_beta_scale]).astype(jnp.float32)[None, :]
+    sa, aw, scales, pad_cols = _pack_heads(
+        static_alpha, static_beta, dyn_alpha_w, dyn_beta_w,
+        dyn_alpha_scale, dyn_beta_scale, dt)
 
     grid = (m_pad // block_m,)
     out_specs = [
@@ -265,16 +292,14 @@ def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s, pad_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, pad_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_INTERPRET,
-    )(residuals, sa, sb, aw, bw, scales)
+    )(residuals, sa, aw, scales)
 
     branch_in, carried, beta = outs[:3]
     pub = (branch_in[:m], carried[:, :m], beta[:, :m])
@@ -282,31 +307,36 @@ def _width_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
         # trim to m: fwd and bwd use different block sizes, so the bwd
         # re-pads to its own m_pad (zero state rows are inert — their
         # incoming grads are zero-padded too)
-        ta, tb, inv = outs[3:]
-        return pub, (ta[:, :m], tb[:, :m], inv[:, :m])
+        ta, inv = outs[3:]
+        return pub, (ta[:, :m], inv[:, :m])
     return pub
 
 
-def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
-                    bw_ref, scales_ref, gsa_ref, gsb_ref, gaw_ref, gbw_ref,
+def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, aw_ref,
+                    scales_ref, gsa_ref, gaw_ref,
                     gscales_ref, num_streams, state_refs=None):
     """Adjoint of the width connection over per-stream (T, d) residuals.
 
-    Recomputes the cheap forward intermediates (rms stat, projections, tanh),
+    Recomputes the cheap forward intermediates (rms stat, projection, tanh),
     applies the hand-derived chain rule, accumulates the parameter grads into
     fp32 output blocks (constant index map — the sequential row-tile grid
     revisits the same VMEM block), and RETURNS the per-stream fp32 residual
     grads for the caller to route (plain: written to g_r; depth-fused:
-    split into g_carried / g_branch / g_beta)."""
+    split into g_carried / g_branch / g_beta).
+
+    The beta head rides column s+1 of the folded packs everywhere: the
+    incoming g_beta row joins the mix-adjoint tile at that column, so the
+    tanh/scale chain, g_n backprojection, and BOTH weight grads (gaw, gbw)
+    come out of the alpha head's (T, pad)/(d, pad) ops with no separate
+    row-sums or scalar chains. gsa/gaw outputs carry gsb/gbw at column s+1;
+    the host wrapper unpacks them."""
     s = num_streams
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         gsa_ref[...] = jnp.zeros_like(gsa_ref)
-        gsb_ref[...] = jnp.zeros_like(gsb_ref)
         gaw_ref[...] = jnp.zeros_like(gaw_ref)
-        gbw_ref[...] = jnp.zeros_like(gbw_ref)
         gscales_ref[...] = jnp.zeros_like(gscales_ref)
 
     a_scale = scales_ref[0, 0]
@@ -316,6 +346,8 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
     dt = rs[0].dtype
     d = rs[0].shape[-1]
     pad_cols = aw_ref.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, pad_cols), 1)
+    scale_row = jnp.where(col == s + 1, b_scale, a_scale)     # (1, pad) f32
 
     if _MXU_ROWSUM:
         ones_col = jnp.ones((d, 1), jnp.float32)
@@ -325,8 +357,7 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
     else:
         rowsum = lambda x: jnp.sum(x, axis=-1)
 
-    aw = aw_ref[...]                    # (d, pad) dt
-    bw_f32 = bw_ref[0].astype(jnp.float32)   # (d,)
+    aw = aw_ref[...]                    # (d, pad) dt, beta-folded
 
     # g_mixed arrives SPLIT (branch-input grad + carried grads) — no
     # (s+1, ...) concat on the caller side. Cast each incoming grad tensor
@@ -339,10 +370,8 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
 
     g_ascale = jnp.zeros((), jnp.float32)
     g_bscale = jnp.zeros((), jnp.float32)
-    gsa_rows = []            # (pad,) per stream
-    gsb_vals = []            # scalar per stream
+    gsa_rows = []            # (pad,) per stream; col s+1 = gsb
     gaw_acc = jnp.zeros(gaw_ref.shape, jnp.float32)
-    gbw_acc = jnp.zeros((d,), jnp.float32)
     g_rs = []
 
     for si in range(s):
@@ -352,12 +381,11 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
 
         if state_refs is not None:
             # forward intermediates SAVED by the fwd kernel (bit-identical
-            # to the recompute below): skip the rms stat, both projections
-            # and both tanh's
-            ta_ref, tb_ref, inv_ref = state_refs
+            # to the recompute below): skip the rms stat, the projection
+            # and the tanh (beta's tanh is ta's column s+1)
+            ta_ref, inv_ref = state_refs
             inv = inv_ref[si]                           # (T,) f32
             ta = ta_ref[si]                             # (T, pad) f32
-            tb = tb_ref[si]                             # (T,) f32
             var_ok = inv < 1e6   # inv==rsqrt(clip(var,1e-12)): var>1e-12
         else:
             # -- recompute forward intermediates (same casts as the fwd) --
@@ -366,22 +394,20 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
             inv = jax.lax.rsqrt(jnp.clip(var, min=1e-12))
             var_ok = var > 1e-12
         n_s = r_s * inv[:, None].astype(dt)             # (T, d) dt
-        n_f32 = n_s.astype(jnp.float32)
 
         if state_refs is None:
             pa = jax.lax.dot_general(
                 n_s, aw, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)     # (T, pad)
             ta = jnp.tanh(pa)
-            pb = rowsum(n_f32 * bw_f32[None, :])        # (T,)
-            tb = jnp.tanh(pb)
-        alpha = (ta * a_scale + sa_ref[si][None, :]).astype(dt)   # (T, pad)
+        alpha = (ta * scale_row + sa_ref[si][None, :]).astype(dt)  # (T, pad)
 
         # -- mix adjoints --
-        # g_alpha[m, t] = gm[t, m] . r_s[m];  columns beyond s+1 stay zero
+        # g_alpha[m, t] = gm[t, m] . r_s[m];  g_beta joins at column s+1
         ga_cols = [rowsum(gm_f32(t) * r_f32) for t in range(s + 1)]
         ga = jnp.stack(
-            ga_cols + [jnp.zeros_like(ga_cols[0])] * (pad_cols - (s + 1)),
+            ga_cols + [gb_s]
+            + [jnp.zeros_like(gb_s)] * (pad_cols - (s + 2)),
             axis=-1)                                    # (T, pad) f32
 
         # g_r from the mix: sum_t alpha[:, t] * gm[t]
@@ -389,26 +415,25 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
         for t in range(1, s + 1):
             g_r += alpha[:, t].astype(jnp.float32)[:, None] * gm_f32(t)
 
-        # -- alpha head --
-        g_pa = ga * a_scale * (1.0 - ta * ta)           # (T, pad) f32
-        g_ascale += jnp.sum(ga * ta)
+        # -- both heads at once on the (T, pad) tile --
+        g_p = ga * scale_row * (1.0 - ta * ta)          # (T, pad) f32
+        gt = ga * ta
+        # masked full-width sums, not column slices: lane-offset slice
+        # reductions fail Mosaic lowering ("Offset change"). Columns
+        # s+2..pad of ga are zeros, so the alpha sum can take them along.
+        beta_col = col == s + 1
+        g_ascale += jnp.sum(jnp.where(beta_col, 0.0, gt))
+        g_bscale += jnp.sum(jnp.where(beta_col, gt, 0.0))
         gsa_rows.append(jnp.sum(ga, axis=0))
 
         g_n = jax.lax.dot_general(
-            g_pa.astype(dt), aw, (((1,), (1,)), ((), ())),
+            g_p.astype(dt), aw, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # (T, d) f32
 
-        # -- beta head --
-        g_pb = gb_s * b_scale * (1.0 - tb * tb)         # (T,)
-        g_bscale += jnp.sum(gb_s * tb)
-        gsb_vals.append(jnp.sum(gb_s))
-        g_n += bw_f32[None, :] * g_pb[:, None]
-
-        # -- parameter grads --
+        # -- parameter grads (column s+1 = gbw) --
         gaw_acc += jax.lax.dot_general(
-            n_s, g_pa.astype(dt), (((0,), (0,)), ((), ())),
+            n_s, g_p.astype(dt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (d, pad)
-        gbw_acc += jnp.sum(n_f32 * g_pb[:, None], axis=0)
 
         # -- rms-norm backward --
         g_inv = rowsum(g_n * r_f32)                     # (T,)
@@ -421,33 +446,31 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, sb_ref, aw_ref,
 
     # whole-block accumulations (row/scalar VMEM writes are not tile-friendly)
     gsa_ref[...] += jnp.stack(gsa_rows)                  # (s, pad)
-    gsb_ref[...] += jnp.stack(gsb_vals)[None, :]         # (1, s)
     gaw_ref[...] += gaw_acc
-    gbw_ref[...] += gbw_acc[None, :]
     gscales_ref[...] += jnp.stack([g_ascale, g_bscale])[None, :]
     return g_rs
 
 
-def _width_bwd_kernel(r_ref, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
-                      aw_ref, bw_ref, scales_ref, gr_ref, gsa_ref, gsb_ref,
-                      gaw_ref, gbw_ref, gscales_ref, *, num_streams):
+def _width_bwd_kernel(r_ref, gb0_ref, gcar_ref, gb_ref, sa_ref,
+                      aw_ref, scales_ref, gr_ref, gsa_ref,
+                      gaw_ref, gscales_ref, *, num_streams):
     rs = [r_ref[si] for si in range(num_streams)]
-    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
-                           aw_ref, bw_ref, scales_ref, gsa_ref, gsb_ref,
-                           gaw_ref, gbw_ref, gscales_ref, num_streams)
+    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref,
+                           aw_ref, scales_ref, gsa_ref,
+                           gaw_ref, gscales_ref, num_streams)
     for si in range(num_streams):
         gr_ref[si] = g_rs[si].astype(gr_ref.dtype)
 
 
-def _width_bwd_kernel_save(r_ref, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
-                           aw_ref, bw_ref, scales_ref, ta_ref, tb_ref,
-                           inv_ref, gr_ref, gsa_ref, gsb_ref, gaw_ref,
-                           gbw_ref, gscales_ref, *, num_streams):
+def _width_bwd_kernel_save(r_ref, gb0_ref, gcar_ref, gb_ref, sa_ref,
+                           aw_ref, scales_ref, ta_ref,
+                           inv_ref, gr_ref, gsa_ref, gaw_ref,
+                           gscales_ref, *, num_streams):
     rs = [r_ref[si] for si in range(num_streams)]
-    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
-                           aw_ref, bw_ref, scales_ref, gsa_ref, gsb_ref,
-                           gaw_ref, gbw_ref, gscales_ref, num_streams,
-                           state_refs=(ta_ref, tb_ref, inv_ref))
+    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref,
+                           aw_ref, scales_ref, gsa_ref,
+                           gaw_ref, gscales_ref, num_streams,
+                           state_refs=(ta_ref, inv_ref))
     for si in range(num_streams):
         gr_ref[si] = g_rs[si].astype(gr_ref.dtype)
 
@@ -470,53 +493,50 @@ def _fused_bwd_epilogue(g_rs, branch_ref, betaT_ref, gc_ref, gbr_ref,
 
 
 def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gb0_ref,
-                            gcar_ref, gb_ref, sa_ref, sb_ref, aw_ref, bw_ref,
+                            gcar_ref, gb_ref, sa_ref, aw_ref,
                             scales_ref, gc_ref, gbr_ref, gbT_ref, gsa_ref,
-                            gsb_ref, gaw_ref, gbw_ref, gscales_ref, *,
+                            gaw_ref, gscales_ref, *,
                             num_streams):
     """Depth-fused adjoint: r[si] = carried[si] + branch * beta[si] is
     recomputed in VMEM, then the shared adjoint core + chain-rule split."""
     s = num_streams
     rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, s)
-    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
-                           aw_ref, bw_ref, scales_ref, gsa_ref, gsb_ref,
-                           gaw_ref, gbw_ref, gscales_ref, s)
+    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref,
+                           aw_ref, scales_ref, gsa_ref,
+                           gaw_ref, gscales_ref, s)
     _fused_bwd_epilogue(g_rs, branch_ref, betaT_ref, gc_ref, gbr_ref,
                         gbT_ref, s)
 
 
 def _width_fused_bwd_kernel_save(carried_ref, branch_ref, betaT_ref, gb0_ref,
-                                 gcar_ref, gb_ref, sa_ref, sb_ref, aw_ref,
-                                 bw_ref, scales_ref, ta_ref, tb_ref, inv_ref,
-                                 gc_ref, gbr_ref, gbT_ref, gsa_ref, gsb_ref,
-                                 gaw_ref, gbw_ref, gscales_ref, *,
+                                 gcar_ref, gb_ref, sa_ref, aw_ref,
+                                 scales_ref, ta_ref, inv_ref,
+                                 gc_ref, gbr_ref, gbT_ref, gsa_ref,
+                                 gaw_ref, gscales_ref, *,
                                  num_streams):
     s = num_streams
     rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, s)
-    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref, sb_ref,
-                           aw_ref, bw_ref, scales_ref, gsa_ref, gsb_ref,
-                           gaw_ref, gbw_ref, gscales_ref, s,
-                           state_refs=(ta_ref, tb_ref, inv_ref))
+    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref,
+                           aw_ref, scales_ref, gsa_ref,
+                           gaw_ref, gscales_ref, s,
+                           state_refs=(ta_ref, inv_ref))
     _fused_bwd_epilogue(g_rs, branch_ref, betaT_ref, gc_ref, gbr_ref,
                         gbT_ref, s)
 
 
 def _pad_state(state, m, m_pad):
-    """Pad saved (ta, tb, inv) rows to the bwd's m_pad (zero rows are inert:
+    """Pad saved (ta, inv) rows to the bwd's m_pad (zero rows are inert:
     their incoming grads are zero-padded too)."""
     if state is None or m_pad == m:
         return state
-    ta, tb, inv = state
+    ta, inv = state
     return (jnp.pad(ta, ((0, 0), (0, m_pad - m), (0, 0))),
-            jnp.pad(tb, ((0, 0), (0, m_pad - m))),
             jnp.pad(inv, ((0, 0), (0, m_pad - m))))
 
 
 def _state_in_specs(s, block_m, pad_cols):
     return [
         pl.BlockSpec((s, block_m, pad_cols), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((s, block_m), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((s, block_m), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
@@ -543,13 +563,9 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
         g_beta = jnp.pad(g_beta, ((0, 0), (0, m_pad - m)))
         # padded rows have r = 0 and g = 0 => contribute nothing anywhere
 
-    pad_cols = _LANE_PAD * ((s + 1 + _LANE_PAD - 1) // _LANE_PAD)
-    sa = jnp.pad(static_alpha.astype(jnp.float32),
-                 ((0, 0), (0, pad_cols - (s + 1))))
-    aw = jnp.pad(dyn_alpha_w.astype(dt), ((0, 0), (0, pad_cols - (s + 1))))
-    bw = dyn_beta_w.astype(dt)[None, :]
-    sb = static_beta.astype(jnp.float32)[None, :]
-    scales = jnp.stack([dyn_alpha_scale, dyn_beta_scale]).astype(jnp.float32)[None, :]
+    sa, aw, scales, pad_cols = _pack_heads(
+        static_alpha, static_beta, dyn_alpha_w, dyn_beta_w,
+        dyn_alpha_scale, dyn_beta_scale, dt)
 
     grid = (m_pad // block_m,)
     const = lambda i: (0, 0)
@@ -564,12 +580,10 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
         pl.BlockSpec((s, block_m), lambda i: (0, i),
                      memory_space=pltpu.VMEM),          # g_beta
         pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
     ]
-    operands = [residuals, g_branch_in, g_carried, g_beta, sa, sb, aw, bw,
+    operands = [residuals, g_branch_in, g_carried, g_beta, sa, aw,
                 scales]
     kern = _width_bwd_kernel
     if state is not None:
@@ -577,7 +591,7 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
         operands += list(state)
         kern = _width_bwd_kernel_save
 
-    g_r, g_sa, g_sb, g_aw, g_bw, g_scales = pl.pallas_call(
+    g_r, g_sa, g_aw, g_scales = pl.pallas_call(
         functools.partial(kern, num_streams=s),
         grid=grid,
         in_specs=in_specs,
@@ -585,17 +599,13 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
             pl.BlockSpec((s, block_m, d), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),          # g_r
             pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((s, m_pad, d), dt),
             jax.ShapeDtypeStruct((s, pad_cols), jnp.float32),
-            jax.ShapeDtypeStruct((1, s), jnp.float32),
             jax.ShapeDtypeStruct((d, pad_cols), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -606,10 +616,10 @@ def _width_bwd_pallas(residuals, static_alpha, static_beta, dyn_alpha_w,
     p32 = static_alpha.dtype
     return (g_r[:, :m],
             g_sa[:, :s + 1].astype(p32),
-            g_sb[0].astype(static_beta.dtype),
+            g_sa[:, s + 1].astype(static_beta.dtype),
             g_aw[:, :s + 1].astype(dyn_alpha_w.dtype),
             g_scales[0, 0].astype(dyn_alpha_scale.dtype),
-            g_bw[0].astype(dyn_beta_w.dtype),
+            g_aw[:, s + 1].astype(dyn_beta_w.dtype),
             g_scales[0, 1].astype(dyn_beta_scale.dtype))
 
 
@@ -624,14 +634,10 @@ def _fused_prepare(carried, branch, betaT, static_alpha, dyn_alpha_w,
         branch = jnp.pad(branch, ((0, m_pad - m), (0, 0)))
         betaT = jnp.pad(betaT, ((0, m_pad - m), (0, 0)))
         # padded rows: r = 0 + 0*0 = 0 => contribute nothing anywhere
-    pad_cols = _LANE_PAD * ((s + 1 + _LANE_PAD - 1) // _LANE_PAD)
-    sa = jnp.pad(static_alpha.astype(jnp.float32),
-                 ((0, 0), (0, pad_cols - (s + 1))))
-    aw = jnp.pad(dyn_alpha_w.astype(dt), ((0, 0), (0, pad_cols - (s + 1))))
-    bw = dyn_beta_w.astype(dt)[None, :]
-    sb = static_beta.astype(jnp.float32)[None, :]
-    scales = jnp.stack([dyn_alpha_scale, dyn_beta_scale]).astype(jnp.float32)[None, :]
-    return carried, branch, betaT, sa, sb, aw, bw, scales, m_pad, pad_cols
+    sa, aw, scales, pad_cols = _pack_heads(
+        static_alpha, static_beta, dyn_alpha_w, dyn_beta_w,
+        dyn_alpha_scale, dyn_beta_scale, dt)
+    return carried, branch, betaT, sa, aw, scales, m_pad, pad_cols
 
 
 def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
@@ -640,7 +646,7 @@ def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
                         save_state: bool = False):
     s, m, d = carried.shape
     dt = carried.dtype
-    carried, branch, betaT, sa, sb, aw, bw, scales, m_pad, pad_cols = \
+    carried, branch, betaT, sa, aw, scales, m_pad, pad_cols = \
         _fused_prepare(carried, branch, betaT, static_alpha, dyn_alpha_w,
                        static_beta, dyn_beta_w, dyn_alpha_scale,
                        dyn_beta_scale, block_m)
@@ -678,21 +684,19 @@ def _width_fused_pallas(carried, branch, betaT, static_alpha, static_beta,
             pl.BlockSpec((block_m, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),          # betaT
             pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_INTERPRET,
-    )(carried, branch, betaT, sa, sb, aw, bw, scales)
+    )(carried, branch, betaT, sa, aw, scales)
 
     branch_in, carried_out, beta = outs[:3]
     pub = (branch_in[:m], carried_out[:, :m], beta[:, :m])
     if save_state:
-        ta, tb, inv = outs[3:]
-        return pub, (ta[:, :m], tb[:, :m], inv[:, :m])
+        ta, inv = outs[3:]
+        return pub, (ta[:, :m], inv[:, :m])
     return pub
 
 
@@ -710,7 +714,7 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
         g_branch_in = jnp.pad(g_branch_in, ((0, m_pad - m), (0, 0)))
         g_carried_in = jnp.pad(g_carried_in, ((0, 0), (0, m_pad - m), (0, 0)))
         g_beta = jnp.pad(g_beta, ((0, 0), (0, m_pad - m)))
-    carried, branch, betaT, sa, sb, aw, bw, scales, m_pad, pad_cols = \
+    carried, branch, betaT, sa, aw, scales, m_pad, pad_cols = \
         _fused_prepare(carried, branch, betaT, static_alpha, dyn_alpha_w,
                        static_beta, dyn_beta_w, dyn_alpha_scale,
                        dyn_beta_scale, block_m)
@@ -731,13 +735,11 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
         pl.BlockSpec((s, block_m), lambda i: (0, i),
                      memory_space=pltpu.VMEM),          # g_beta
         pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
     ]
     operands = [carried, branch, betaT, g_branch_in, g_carried_in, g_beta,
-                sa, sb, aw, bw, scales]
+                sa, aw, scales]
     kern = _width_fused_bwd_kernel
     if state is not None:
         in_specs += _state_in_specs(s, block_m, pad_cols)
@@ -756,9 +758,7 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
             pl.BlockSpec((block_m, s), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),          # g_betaT
             pl.BlockSpec((s, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, pad_cols), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -766,9 +766,7 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
             jax.ShapeDtypeStruct((m_pad, d), dt),
             jax.ShapeDtypeStruct((m_pad, s), dt),
             jax.ShapeDtypeStruct((s, pad_cols), jnp.float32),
-            jax.ShapeDtypeStruct((1, s), jnp.float32),
             jax.ShapeDtypeStruct((d, pad_cols), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -776,14 +774,14 @@ def _width_fused_bwd_pallas(carried, branch, betaT, static_alpha,
         interpret=_INTERPRET,
     )(*operands)
 
-    g_c, g_br, g_bT, g_sa, g_sb, g_aw, g_bw, g_scales = outs
+    g_c, g_br, g_bT, g_sa, g_aw, g_scales = outs
     p32 = static_alpha.dtype
     return (g_c[:, :m], g_br[:m], g_bT[:m],
             g_sa[:, :s + 1].astype(p32),
-            g_sb[0].astype(static_beta.dtype),
+            g_sa[:, s + 1].astype(static_beta.dtype),
             g_aw[:, :s + 1].astype(dyn_alpha_w.dtype),
             g_scales[0, 0].astype(dyn_alpha_scale.dtype),
-            g_bw[0].astype(dyn_beta_w.dtype),
+            g_aw[:, s + 1].astype(dyn_beta_w.dtype),
             g_scales[0, 1].astype(dyn_beta_scale.dtype))
 
 
