@@ -366,9 +366,16 @@ class Attention(nnx.Module):
         linear = lambda i, o, bias=False: nnx.Linear(
             i, o, use_bias=bias, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
-        self.to_q = linear(dim, inner)
-        self.to_k = linear(dim, inner)
-        self.to_v = linear(dim, inner)
+        # q/k/v as ONE (dim, 3, inner) parameter (nnx.LinearGeneral): the
+        # round-4 profile showed per-trace re-concatenation of separate
+        # to_q/to_k/to_v kernels costing 5.8 ms/step in f32 column-major
+        # bitcast fusions (fwd concat + dW split, every layer). A single
+        # stored parameter removes both; q/k/v are static slices of the one
+        # GEMM's output. Segment boundaries ride a dedicated size-3 axis so
+        # tensor parallelism shards `inner` cleanly (parallel/tp.py).
+        self.to_qkv = nnx.LinearGeneral(
+            dim, (3, inner), use_bias=False, dtype=dtype,
+            param_dtype=param_dtype, rngs=rngs)
         self.to_out = linear(inner, dim)
 
         self.to_v_head_gate = linear(dim, heads, bias=True) if gate_value_heads else None
@@ -392,34 +399,34 @@ class Attention(nnx.Module):
         self.rngs = rngs
 
     def _fused_input_proj(self, x):
-        """q/k/v in ONE lane-aligned GEMM, the value-head-gate and
-        value-residual-mix logits in a second narrow one. The five
-        projections share the same input; as separate nnx.Linear calls the
-        two h-wide ones are (.., dim) x (dim, 8) matmuls — 8 of 128 MXU
-        lanes — and each costs a full read of x. Concatenating the kernels
-        (params stay separate: checkpoint/EMA/TP layouts unchanged) batches
-        the calls and their dW adjoints.
+        """q/k/v in ONE lane-aligned GEMM (the single stored (dim, 3, inner)
+        `to_qkv` kernel — no per-trace weight concat, no dW split in the
+        adjoint), the value-head-gate and value-residual-mix logits in a
+        second narrow one. The projections share the same input; as separate
+        nnx.Linear calls the two h-wide ones are (.., dim) x (dim, 8)
+        matmuls — 8 of 128 MXU lanes — and each costs a full read of x.
 
         The h-wide heads get their OWN concat rather than riding the qkv
         GEMM: 3*inner stays a multiple of 128 lanes while 3*inner + 2h does
         not — the misaligned 1552-wide dW adjoints ran as
         EmitInputBatchInLanes convolutions at ~4x off MXU peak (~0.28 ms
         each, ~5.8 ms/step at flagship shape, found via the optimized-HLO
-        backend_config). The narrow GEMM's extra read of x is ~0.02 ms."""
-        from flax.nnx.nn.dtypes import promote_dtype
-        inner = self.heads * self.dim_head
-        w = jnp.concatenate([self.to_q.kernel[...], self.to_k.kernel[...],
-                             self.to_v.kernel[...]], axis=1)
-        x, w = promote_dtype((x, w), dtype=self.to_q.dtype)
-        fused = x @ w
-        q = fused[..., :inner]
-        k = fused[..., inner:2 * inner]
-        v = fused[..., 2 * inner:]
+        backend_config). The narrow GEMM's extra read of x is ~0.02 ms.
+
+        q/k/v come out as static slices of the GEMM's (b, n, 3, inner)
+        output: lanes stay the full 128-aligned `inner` width (slicing the
+        size-3 sublane axis — NOT a (b,n,h,dh) lane split, which forces the
+        {1,3,2,0} copy pathology documented in ops/rotary.py)."""
+        fused = self.to_qkv(x)                       # (b, n, 3, inner)
+        q = fused[..., 0, :]
+        k = fused[..., 1, :]
+        v = fused[..., 2, :]
 
         gate_logits = mix_logits = None
         small = [lin for lin in (self.to_v_head_gate,
                                  self.to_value_residual_mix) if exists(lin)]
         if small:
+            x = x.astype(q.dtype)
             wg = jnp.concatenate([lin.kernel[...] for lin in small], axis=1)
             rest = x @ wg.astype(x.dtype)
             if exists(self.to_v_head_gate):

@@ -28,9 +28,12 @@ MODEL_AXIS = 'model'
 
 # (path regex, kind): 'col' splits output features (column parallel),
 # 'row' splits input features, 'col_bias' the bias of a column layer.
-# Attention to_q/k/v are bias-free; FF proj_in carries one.
+# The fused attention qkv kernel is (dim, 3, inner) — 'qkv_col' shards its
+# trailing `inner` axis, so every q/k/v segment splits by heads and the
+# static slices of the (b, n, 3, inner) projection stay shard-aligned.
+# Attention qkv is bias-free; FF proj_in carries one.
 _RULES = (
-    (re.compile(r'(^|/)(attn|freq_attn)/to_[qkv]/kernel$'), 'col'),
+    (re.compile(r'(^|/)(attn|freq_attn)/to_qkv/kernel$'), 'qkv_col'),
     (re.compile(r'(^|/)ff/proj_in/kernel$'), 'col'),
     (re.compile(r'(^|/)ff/proj_in/bias$'), 'col_bias'),
     (re.compile(r'(^|/)(attn|freq_attn)/to_out/kernel$'), 'row'),
@@ -57,8 +60,12 @@ def _spec_for(path: str, shape: tuple[int, ...], n_model: int):
     for rx, kind in _RULES:
         if rx.search(path):
             stacked = (len(shape) == 3 if kind in ('col', 'row')
+                       else len(shape) == 4 if kind == 'qkv_col'
                        else len(shape) == 2)
             lead = (None,) if stacked else ()
+            if kind == 'qkv_col' and len(shape) in (3, 4):
+                ok = shape[-1] % n_model == 0
+                return (P(*lead, None, None, MODEL_AXIS) if ok else None), True
             if kind == 'col' and len(shape) in (2, 3):
                 ok = shape[-1] % n_model == 0
                 return (P(*lead, None, MODEL_AXIS) if ok else None), True

@@ -33,6 +33,28 @@ def _pure(state) -> dict:
     return jax.tree.map(lambda x: np.asarray(x), nnx.to_pure_dict(state))
 
 
+def migrate_qkv_layout(tree):
+    """Convert checkpoints from before the fused attention qkv parameter:
+    sibling ``to_q/to_k/to_v`` subtrees (kernels (..., d, inner), plus any
+    mirrored optimizer moments) merge into ``to_qkv`` with leaves stacked on
+    a new axis -2 — exactly the (d, 3, inner) layout `nnx.LinearGeneral`
+    stores (models/blocks.py). New-layout trees pass through unchanged."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    keys = set(tree)
+    if {'to_q', 'to_k', 'to_v'} <= keys and 'to_qkv' not in keys:
+        q, k, v = (migrate_qkv_layout(tree[n])
+                   for n in ('to_q', 'to_k', 'to_v'))
+        out['to_qkv'] = jax.tree.map(
+            lambda a, b, c: np.stack([np.asarray(a), np.asarray(b),
+                                      np.asarray(c)], axis=-2), q, k, v)
+        keys -= {'to_q', 'to_k', 'to_v'}
+    for k in keys:
+        out[k] = migrate_qkv_layout(tree[k])
+    return out
+
+
 def save_checkpoint(path: str, *, model, optimizer=None, ema=None, step: int = 0,
                     duration_predictor=None, dp_optimizer=None, key=None):
     """Write {model, opt, ema, [duration_predictor, dp_opt, key], step} to
@@ -74,7 +96,7 @@ def load_checkpoint(path: str, *, model, optimizer=None, ema=None,
 
     def _update(module, pure):
         state = nnx.state(module, _SAVED)
-        nnx.replace_by_pure_dict(state, pure)
+        nnx.replace_by_pure_dict(state, migrate_qkv_layout(pure))
         nnx.update(module, state)
 
     _update(model, restored['model'])

@@ -37,6 +37,9 @@ def test_mel_golden():
 # Re-pinned again for the x-transformers gate_value_heads init (zero weight,
 # bias 10: gates start open — e2tts 3.120961 -> 3.120085, duration
 # 454.513367 -> 455.073242).
+# Re-pinned for the fused (dim, 3, inner) qkv parameter (one lecun-normal
+# draw replaces three; same per-column distribution, different bits —
+# e2tts 3.120085 -> 3.099416, duration 455.073242 -> 460.112396).
 def test_e2tts_loss_golden():
     from e2_tts_tpu.models.e2tts import E2TTS
     model = E2TTS(
@@ -49,7 +52,7 @@ def test_e2tts_loss_golden():
     mel = jax.random.normal(jax.random.key(11), (2, 24, 100))
     loss = model(mel, text=['golden', 'values'], key=jax.random.key(12),
                  drop_text_cond=False).loss
-    np.testing.assert_allclose(float(loss), 3.120085, atol=2e-3)
+    np.testing.assert_allclose(float(loss), 3.099416, atol=2e-3)
 
 
 def test_duration_loss_golden():
@@ -64,7 +67,7 @@ def test_duration_loss_golden():
     mel = jax.random.normal(jax.random.key(21), (2, 24, 100))
     loss = dp(mel, text=['golden', 'values'], lens=jnp.array([20, 24]),
               key=jax.random.key(22))
-    np.testing.assert_allclose(float(loss), 455.073242, rtol=1e-4)
+    np.testing.assert_allclose(float(loss), 460.112396, rtol=1e-4)
 
 
 def test_rotary_golden():

@@ -353,3 +353,44 @@ def test_trainer_dtype_passthrough(tmp_path):
     # params remain f32 master copies
     assert model.proj_in.kernel[...].dtype == jnp.float32
     trainer.train(_toy_dataset(n=8), epochs=1, batch_size=8, save_step=100)
+
+
+def test_checkpoint_migrates_pre_fused_qkv_layout(tmp_path):
+    """Checkpoints written before the fused attention qkv parameter (separate
+    to_q/to_k/to_v kernels) load into the current layout: migrate_qkv_layout
+    stacks the three kernels on axis -2 — exactly LinearGeneral's
+    (d, 3, inner) — wherever the triple appears (model, EMA, opt moments)."""
+    from e2_tts_tpu.training.checkpointing import migrate_qkv_layout
+
+    model = small_e2tts()
+    pure = nnx.to_pure_dict(nnx.state(model, nnx.Not(nnx.RngState)))
+
+    def split_qkv(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if k == 'to_qkv':
+                kern = np.asarray(v['kernel'])
+                for i, name in enumerate(('to_q', 'to_k', 'to_v')):
+                    out[name] = {'kernel': kern[..., i, :]}
+            else:
+                out[k] = split_qkv(v)
+        return out
+
+    old = split_qkv(jax.tree.map(np.asarray, pure))
+    old_paths = [jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_leaves_with_path(old)]
+    assert any('to_q' in p and 'to_qkv' not in p for p in old_paths)
+    migrated = migrate_qkv_layout(old)
+    flat_new = jax.tree_util.tree_leaves_with_path(pure)
+    flat_mig = jax.tree_util.tree_leaves_with_path(migrated)
+    assert [p for p, _ in flat_new] == [p for p, _ in flat_mig]
+    for (_, a), (_, b) in zip(flat_new, flat_mig):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # new-layout trees pass through untouched
+    again = migrate_qkv_layout(migrated)
+    for (_, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(again),
+                              flat_mig):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
