@@ -31,7 +31,10 @@ print('e2tts raw-wave loss:', float(out2.loss)); assert np.isfinite(float(out2.l
 rng = np.random.default_rng(0)
 ds = ArrayDataset([rng.normal(size=(100, 32 + 4 * i)).astype(np.float32) * .3
                    for i in range(4)], ['verify %d' % i for i in range(4)])
-tr = E2Trainer(model, log_file=None, checkpoint_path='/tmp/verify_ckpt',
+import shutil, tempfile
+ckpt_dir = tempfile.mkdtemp(prefix='verify_ckpt_')   # always fresh: stale
+# dirs from older runs may hold pre-migration layouts or partial state
+tr = E2Trainer(model, log_file=None, checkpoint_path=ckpt_dir,
                num_warmup_steps=2)
 tr.train(ds, epochs=2, batch_size=2, save_step=2, frame_bucket=32)
 step, _key = tr.load_checkpoint()

@@ -102,6 +102,7 @@ def build_result():
         'sample_rtf_wall': _r(rtf, 5),
         'sample_rtf_device': _r(R.get('rtf_device'), 5),
         'sample_rtf_with_vocoder_wall': _r(R.get('rtf_with_vocoder'), 5),
+        'batched_sample_utt_per_sec': R.get('batched_utt_per_sec') or None,
         'vs_2x_h100_estimate': round(fps / (2 * h100_ref), 3) if fps else None,
         'h100_ref_estimate_frames_per_sec': round(h100_ref, 1),
         'phases_done': sorted(R.get('phases', [])),
@@ -340,6 +341,65 @@ def bench_sample():
     return device_rtf, vocoder_rtf
 
 
+def bench_batched_sample():
+    """Batched-sampling throughput (utterances/s) at B=8/16, NFE=32, trying
+    BOTH CFG modes per batch size (sequential null pass vs one 2x-batched
+    pass — BENCH_NOTES predicted batched wins at larger batch; this measures
+    the crossover). The reference's sampler batches naturally
+    (e2_tts.py:1332-1421); parity requires batched numbers, not just B=1."""
+    model = flagship(dropout=0.0)
+    audio_seconds = SAMPLE_FRAMES / FRAMES_PER_SEC
+    results = {}
+    for B in (8, 16):
+        for bcfg in (False, True):
+            if remaining() < 120:
+                log('batched sample: deadline near, stopping sweep')
+                break
+            prompt = jax.random.normal(jax.random.key(0), (B, 256, 100),
+                                       dtype=jnp.bfloat16) * 0.3
+            texts = ['the quick brown fox jumps over the lazy dog ' * 3] * B
+
+            def run(key):
+                return model.sample(
+                    prompt, text=texts, duration=SAMPLE_FRAMES,
+                    steps=NFE_STEPS, key=key, return_raw_output=True,
+                    duration_bucket=SAMPLE_FRAMES, batched_cfg=bcfg)
+
+            tag = f'B={B} batched_cfg={bcfg}'
+            try:
+                log(f'batched sample {tag}: compiling...')
+                run(jax.random.key(1)).block_until_ready()
+                best = float('inf')
+                for i in range(3):
+                    t0 = time.perf_counter()
+                    run(jax.random.key(2 + i)).block_until_ready()
+                    best = min(best, time.perf_counter() - t0)
+                    if remaining() < 60:
+                        break
+                ups = B / best
+                results[(B, bcfg)] = ups
+                log(f'batched sample {tag}: {best:.3f} s/batch -> '
+                    f'{ups:.2f} utt/s (per-utt RTF '
+                    f'{best / B / audio_seconds:.4f})')
+            except Exception as e:  # OOM at B=16 2x-batched CFG is possible
+                log(f'batched sample {tag} FAILED: {type(e).__name__}: {e}')
+                results[(B, bcfg)] = None
+        else:
+            continue
+        break
+    summary = {}
+    for B in (8, 16):
+        seq, bat = results.get((B, False)), results.get((B, True))
+        got = [(v, m) for v, m in ((seq, 'sequential'), (bat, 'batched'))
+               if v is not None]
+        if got:
+            v, m = max(got)
+            summary[f'B{B}'] = {'utt_per_sec': round(v, 2), 'best_cfg': m}
+    if summary:
+        R['batched_utt_per_sec'] = summary
+        R.setdefault('phases', []).append('batched_sample')
+
+
 def main():
     signal.signal(signal.SIGTERM, _on_sigterm)
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -379,6 +439,11 @@ def main():
             vocoder_rtf()
         except Exception as e:
             log(f'vocoder RTF extra FAILED: {type(e).__name__}: {e}')
+    if remaining() > 150:
+        try:
+            bench_batched_sample()
+        except Exception as e:
+            log(f'batched sample phase FAILED: {type(e).__name__}: {e}')
 
     emit('all phases done')
 

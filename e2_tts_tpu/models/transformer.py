@@ -315,7 +315,7 @@ class Transformer(nnx.Module):
         attn_kwargs: dict = dict(gate_value_heads=True, softclamp_logits=True),
         ff_kwargs: dict = dict(),
         attn_backend: str = 'auto',
-        remat: bool = False,
+        remat: bool | str = False,
         scan_layers: bool = False,
         dtype=None,
         param_dtype=jnp.float32,
@@ -329,6 +329,14 @@ class Transformer(nnx.Module):
         self.max_seq_len = max_seq_len
         self.cond_on_time = cond_on_time
         self.has_freq_axis = has_freq_axis
+        # remat: False / True (full per-layer checkpoint) / the name of a
+        # jax.checkpoint_policies policy (e.g. 'dots_with_no_batch_dims_saveable')
+        # for SELECTIVE remat — save matmul outputs, recompute elementwise;
+        # cheaper recompute than full remat while still bounding temp HBM.
+        if isinstance(remat, str) and not hasattr(jax.checkpoint_policies, remat):
+            raise ValueError(
+                f'remat={remat!r} is not a jax.checkpoint_policies name; '
+                f"try 'dots_with_no_batch_dims_saveable'")
         self.remat = remat
         self.num_registers = num_registers
         self.dtype = dtype
@@ -621,7 +629,7 @@ class Transformer(nnx.Module):
                                       push_skip=is_first_half,
                                       has_freq_axis=self.has_freq_axis)
             if self.remat:
-                layer_fn = nnx.remat(layer_fn)
+                layer_fn = self._remat_wrap(layer_fn)
 
             skip_in = None if is_first_half else skips.pop()
 
@@ -647,6 +655,15 @@ class Transformer(nnx.Module):
             x = x.reshape(orig_batch, freq_seq_len, *x.shape[1:])
 
         return self.final_norm(x)
+
+    def _remat_wrap(self, layer_fn):
+        """Apply the configured rematerialisation to a layer fn: full
+        checkpoint for remat=True, or a named jax.checkpoint_policies
+        selective policy for remat='<policy name>'."""
+        if isinstance(self.remat, str):
+            return nnx.remat(
+                layer_fn, policy=getattr(jax.checkpoint_policies, self.remat))
+        return nnx.remat(layer_fn)
 
     def _batched_time_cond(self, cond, freq_seq_len=1):
         """Project the shared time embedding through EVERY layer's
@@ -717,8 +734,8 @@ class Transformer(nnx.Module):
         scan_fn_push = nnx.remat(layer_fn_push)
         scan_fn_pop = nnx.remat(layer_fn_pop)
         if self.remat:   # first/last unrolled layers follow the user flag
-            layer_fn_push = nnx.remat(layer_fn_push)
-            layer_fn_pop = nnx.remat(layer_fn_pop)
+            layer_fn_push = self._remat_wrap(layer_fn_push)
+            layer_fn_pop = self._remat_wrap(layer_fn_pop)
 
         def call(fn, layer, x, te, skip, av, tv, fv):
             return fn(layer.speech, layer.text, layer.text_hcs,

@@ -1,5 +1,6 @@
-"""Throughput at larger batch with scan_layers+remat (temp-HBM headroom).
-Usage: python scripts/_b32_probe.py <B> <scan:0|1>"""
+"""Throughput at larger batch with scan_layers/remat (temp-HBM headroom).
+Usage: python scripts/_b32_probe.py <B> <scan:0|1> [remat]
+remat: 0 (off), 1 (full), or a jax.checkpoint_policies name for selective."""
 import sys, time
 import jax
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
@@ -14,9 +15,11 @@ from e2_tts_tpu.models.e2tts import E2TTS
 from e2_tts_tpu.training.adopt import adopt
 
 B = int(sys.argv[1]); SCAN = bool(int(sys.argv[2])); N = 1024
+REMAT = sys.argv[3] if len(sys.argv) > 3 else '0'
+REMAT = {'0': False, '1': True}.get(REMAT, REMAT)
 model = E2TTS(transformer=dict(dim=512, depth=8, heads=8, dim_head=64,
                                dropout=0.1, attn_backend='auto',
-                               scan_layers=SCAN),
+                               scan_layers=SCAN, remat=REMAT),
               rngs=nnx.Rngs(0), dtype=jnp.bfloat16)
 model.train()
 optimizer = nnx.Optimizer(model, optax.chain(
@@ -43,4 +46,5 @@ for g in range(4):
     jax.block_until_ready(loss)
     best = min(best, (time.perf_counter() - t0) / 5)
 ms = best * 1e3
-print('B=%d scan=%d: %.1f ms/step -> %.0f frames/s' % (B, SCAN, ms, B * N / best))
+print('B=%d scan=%d remat=%s: %.1f ms/step -> %.0f frames/s'
+      % (B, SCAN, REMAT, ms, B * N / best))

@@ -173,3 +173,34 @@ def test_remat_matches_no_remat():
         return (m(x, times=times, text_embed=text) ** 2).sum()
     g = nnx.grad(loss)(b, x)
     assert np.isfinite(sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g)))
+
+
+def test_selective_remat_policy():
+    """remat accepts a jax.checkpoint_policies name (selective remat: save
+    dots, recompute elementwise) and matches the no-remat forward + grads."""
+    import pytest
+    kwargs = dict(dim=64, depth=4, heads=2, dim_head=16, ff_mult=2,
+                  num_registers=4, max_seq_len=64, kernel_size=7, dropout=0.0,
+                  num_residual_streams=2, attn_backend='xla')
+    a = Transformer(**kwargs, remat=False, rngs=nnx.Rngs(0))
+    b = Transformer(**kwargs, remat='dots_with_no_batch_dims_saveable',
+                    rngs=nnx.Rngs(0))
+    a.eval(); b.eval()
+    x = jax.random.normal(jax.random.key(0), (2, 12, 64))
+    times = jnp.array([0.3, 0.8])
+    text = jax.random.normal(jax.random.key(1), (2, 12, 32))
+    np.testing.assert_allclose(np.asarray(a(x, times=times, text_embed=text)),
+                               np.asarray(b(x, times=times, text_embed=text)),
+                               atol=1e-5)
+
+    @nnx.jit
+    def loss(m, x):
+        return (m(x, times=times, text_embed=text) ** 2).sum()
+    ga = nnx.grad(loss)(a, x)
+    gb = nnx.grad(loss)(b, x)
+    for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2e-4, rtol=2e-4)
+
+    with pytest.raises(ValueError, match='checkpoint_policies'):
+        Transformer(**kwargs, remat='not_a_policy', rngs=nnx.Rngs(1))
