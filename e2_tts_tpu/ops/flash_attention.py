@@ -806,10 +806,18 @@ def _packed_lane_mask(shape_rows: int, lo: int, hi: int):
     return (lane >= lo) & (lane < hi)
 
 
+def _lane_col(tile, idx):
+    """Extract lane column ``idx`` of a (rows, L) f32 tile as (rows,) via a
+    masked FULL-width reduce: a direct ``tile[:, idx]`` keeps a lane-offset
+    layout Mosaic cannot relayout/reduce ("Not implemented: Offset change"),
+    and ``idx`` may be traced (program_id-derived global head index)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+    return jnp.sum(jnp.where(lane == idx, tile, 0.0), axis=-1)
+
+
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale,
                        softclamp_value, dropout_rate, seq_len, dh,
-                       lane_blocks, total_heads, gated=False,
-                       gate_bnh=False):
+                       lane_blocks, total_heads, gated=False):
     """Grid (b * lane_blocks, nq, nk), kv innermost. Blocks are
     (1, block, LB) slabs of the packed (b, n, D) arrays; each grid step
     processes LB // dh heads (all heads living in its lane block).
@@ -818,11 +826,12 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale,
     ``gate_value_heads``, e2_tts.py:548-551) multiplies into the output
     INSIDE the finalise — the separate (b, n, D) elementwise pass (and its
     lane-expansion) disappears. The gate scales o only, never the softmax
-    stats, so lse stays gate-free. ``gate_bnh``: the gate arrives as
-    (1, bq, h) blocks of the projection-native (b, n, h) tensor (heads in
-    lanes — no host-side (b, n, h) -> (b*h, n, 1) transpose, which XLA runs
-    as a pathological 8-lane strided copy); otherwise legacy (b*h, n, 1)
-    sublane blocks."""
+    stats, so lse stays gate-free. The gate always arrives as (1, bq, h)
+    blocks of the projection-native (b, n, h) tensor (ALL heads in lanes;
+    this step's columns are extracted by global head index via `_lane_col`)
+    — never the legacy (b*h, n, 1) sublane layout, whose host-side
+    transpose is a pathological 8-lane strided copy (~1.3 ms/step at
+    flagship shape, r5 profile)."""
     if gated:
         gate_ref, seed_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -924,8 +933,7 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, *rest, scale,
                 lo, hi = 128 * t + hh * dh, 128 * t + (hh + 1) * dh
                 sc = 1.0 / l_fin
                 if gated:
-                    sc = sc * (gate_ref[0][:, hs] if gate_bnh
-                               else gate_ref[hs][:, 0])
+                    sc = sc * _lane_col(gate_ref[0], head0 + hs)
                 recip = jnp.where((lane >= lo) & (lane < hi),
                                   sc[:, None], recip)
         o_ref[0] = (acc_scr[...] * recip).astype(o_ref.dtype)
@@ -963,9 +971,12 @@ def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
                           dropout_rate, gate=None):
     """``gate``: optional (b, n, h) f32 per-head output gate values (sigmoid
     already applied, projection-native head-lanes layout), folded into the
-    finalise. Consumed directly as (1, block, h) blocks when one lane block
-    covers all heads (NL == 1 — every flagship shape); the NL > 1 fallback
-    transposes host-side to the legacy (b*h, n, 1) sublane layout."""
+    finalise. Always consumed directly as (1, block, h) blocks — every grid
+    step loads ALL heads' gate columns (the lane dim cannot be sub-blocked
+    below 128) and extracts its own by global head index; the re-read is a
+    few KB. The legacy (b*h, n, 1) sublane staging is gone: its host-side
+    transpose ran as a pathological 8-lane strided copy (~1.3 ms/step at
+    flagship shape, NL=4)."""
     b, n, D = q.shape
     dh = D // heads
     block, LB = _packed_choose(n, D, dh, dropout_rate > 0.0, backward=False)
@@ -976,25 +987,18 @@ def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
     grid = (b * NL, -(-n // block), -(-n // block))
 
     gate_ops, gate_specs = (), ()
-    gate_bnh = exists(gate) and NL == 1
     if exists(gate):
-        if gate_bnh:
-            gate_ops = (gate,)
-            gate_specs = (pl.BlockSpec((1, block, heads),
-                                       lambda i, j, kb: (i // NL, j, 0),
-                                       memory_space=pltpu.VMEM),)
-        else:
-            gate_ops = (gate.transpose(0, 2, 1).reshape(b * heads, n, 1),)
-            gate_specs = (pl.BlockSpec((H_blk, block, 1),
-                                       lambda i, j, kb: (i, j, 0),
-                                       memory_space=pltpu.VMEM),)
+        gate_ops = (gate,)
+        gate_specs = (pl.BlockSpec((1, block, heads),
+                                   lambda i, j, kb: (i // NL, j, 0),
+                                   memory_space=pltpu.VMEM),)
 
     out, lse = pl.pallas_call(
         functools.partial(_packed_fwd_kernel, scale=scale,
                           softclamp_value=softclamp_value,
                           dropout_rate=dropout_rate, seq_len=n, dh=dh,
                           lane_blocks=NL, total_heads=heads,
-                          gated=exists(gate), gate_bnh=gate_bnh),
+                          gated=exists(gate)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block, LB), lambda i, j, kb: (i // NL, j, i % NL),
@@ -1036,7 +1040,7 @@ def _flash_packed_forward(q, k, v, bias, seed, heads, scale, softclamp_value,
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
                        delta_ref, *rest, scale, softclamp_value,
                        dropout_rate, seq_len, dh, lane_blocks, total_heads,
-                       gated=False, bnh=False):
+                       gated=False):
     """Merged packed backward — grid (b * lane_blocks, nk, nq), q innermost.
     dk/dv accumulate in per-kv-block scratch; dq in a whole-sequence
     (n_pad, LB) fp32 scratch flushed on the last grid step (same scheme as
@@ -1051,11 +1055,12 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
     computed from (do, o_final) outside, and rowsum(do * o_final) ==
     rowsum(do_pre * o_pre).
 
-    ``bnh``: delta (and the gate, when gated) arrive as (1, block, h) blocks
-    of projection-native (b, n, h) tensors — no host-side transpose to the
-    (b*h, n, 1) sublane layout (NL == 1 only). lse keeps the sublane layout
-    in all cases: it is produced by the forward KERNEL in that layout, so no
-    host copy is ever involved."""
+    delta (and the gate, when gated) arrive as (1, block, h) blocks of
+    projection-native (b, n, h) tensors — ALL heads in lanes, this step's
+    columns extracted by global head index via `_lane_col`; no host-side
+    transpose to the (b*h, n, 1) sublane layout in any NL case. lse keeps
+    the sublane layout: it is produced by the forward KERNEL in that
+    layout, so no host copy is ever involved."""
     if gated:
         gate_ref, seed_ref, dq_ref, dk_ref, dv_ref, \
             dq_scr, dk_scr, dv_scr = rest
@@ -1099,6 +1104,9 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
         q_all = _zero_rows_from(q_all, qbase, seq_len)
         do_all = _zero_rows_from(do_all, qbase, seq_len)
 
+    head0 = (pl.program_id(0) % lane_blocks) * (LB // dh)
+    batch = pl.program_id(0) // lane_blocks
+
     if gated:
         # do_pre = do * g, assembled per head lane range (one VPU pass)
         lane = jax.lax.broadcasted_iota(jnp.int32, (block_q, LB), 1)
@@ -1107,13 +1115,9 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
             for hh in range(hpt):
                 hs = t * hpt + hh
                 lo, hi = 128 * t + hh * dh, 128 * t + (hh + 1) * dh
-                g_col = (gate_ref[0][:, hs][:, None] if bnh
-                         else gate_ref[hs][:, 0][:, None])
+                g_col = _lane_col(gate_ref[0], head0 + hs)[:, None]
                 gl = jnp.where((lane >= lo) & (lane < hi), g_col, gl)
         do_all = (do_all.astype(jnp.float32) * gl).astype(do_all.dtype)
-
-    head0 = (pl.program_id(0) % lane_blocks) * (LB // dh)
-    batch = pl.program_id(0) // lane_blocks
 
     for t in range(n_tiles):
         sl = slice(128 * t, 128 * (t + 1))
@@ -1133,8 +1137,7 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, lse_ref, do_ref,
             do_h = jnp.where(qmask, do_t, 0)
 
             lse_col = lse_ref[hs]                        # (bq, 1)
-            delta_col = (delta_ref[0][:, hs][:, None] if bnh
-                         else delta_ref[hs])
+            delta_col = _lane_col(delta_ref[0], head0 + hs)[:, None]
             if ragged_q:
                 row = qbase + jax.lax.broadcasted_iota(
                     jnp.int32, lse_col.shape, 0)
@@ -1203,10 +1206,10 @@ def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
     bias3 = bias[:, :, None]
     # delta = rowsum(do * o) per head via the 0/1 segment matmul
     # (gate-invariant: rowsum(do*o_final) == rowsum(do_pre*o_pre) since the
-    # per-head gate cancels). Stays in (b, n, h) — the kernel consumes it
-    # lane-wise when NL == 1; the legacy (b*h, n, 1) sublane transpose (a
-    # pathological 8-lane strided copy on XLA) only runs in the NL > 1
-    # fallback.
+    # per-head gate cancels). Stays in (b, n, h) — the kernel always
+    # consumes it lane-wise (all heads per block, extracted by global head
+    # index); the legacy (b*h, n, 1) sublane transpose ran as a pathological
+    # 8-lane strided copy on XLA (~2.3 ms/step at flagship shape, NL=4).
     prod = (g.astype(jnp.float32) * o.astype(jnp.float32))   # (b, n, D)
     delta_bnh = jax.lax.dot_general(
         prod, jnp.asarray(_seg_reduce_matrix_np(heads, dh)),
@@ -1216,37 +1219,23 @@ def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
     nk_blocks = -(-n // block)
     n_pad = nq_blocks * block
 
-    bnh = NL == 1
-    if bnh:
-        delta = delta_bnh
-        delta_spec = pl.BlockSpec((1, block, heads),
-                                  lambda i, j, qb: (i // NL, qb, 0),
-                                  memory_space=pltpu.VMEM)
-    else:
-        delta = delta_bnh.transpose(0, 2, 1).reshape(b * heads, n, 1)
-        delta_spec = pl.BlockSpec((H_blk, block, 1),
-                                  lambda i, j, qb: (i, qb, 0),
-                                  memory_space=pltpu.VMEM)
+    delta_spec = pl.BlockSpec((1, block, heads),
+                              lambda i, j, qb: (i // NL, qb, 0),
+                              memory_space=pltpu.VMEM)
 
     gate_ops, gate_specs = (), ()
     if exists(gate):
-        if bnh:
-            gate_ops = (gate,)
-            gate_specs = (pl.BlockSpec((1, block, heads),
-                                       lambda i, j, qb: (i // NL, qb, 0),
-                                       memory_space=pltpu.VMEM),)
-        else:
-            gate_ops = (gate.transpose(0, 2, 1).reshape(b * heads, n, 1),)
-            gate_specs = (pl.BlockSpec((H_blk, block, 1),
-                                       lambda i, j, qb: (i, qb, 0),
-                                       memory_space=pltpu.VMEM),)
+        gate_ops = (gate,)
+        gate_specs = (pl.BlockSpec((1, block, heads),
+                                   lambda i, j, qb: (i // NL, qb, 0),
+                                   memory_space=pltpu.VMEM),)
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_packed_bwd_kernel, scale=scale,
                           softclamp_value=softclamp_value,
                           dropout_rate=dropout_rate, seq_len=n, dh=dh,
                           lane_blocks=NL, total_heads=heads,
-                          gated=exists(gate), bnh=bnh),
+                          gated=exists(gate)),
         grid=(b * NL, nk_blocks, nq_blocks),
         in_specs=[
             pl.BlockSpec((1, block, LB), lambda i, j, qb: (i // NL, qb, i % NL),
@@ -1286,7 +1275,7 @@ def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
         interpret=_INTERPRET,
-    )(q, k, v, bias3, lse, g, delta, *gate_ops, seed)
+    )(q, k, v, bias3, lse, g, delta_bnh, *gate_ops, seed)
     if return_delta_bnh:
         return dq, dk, dv, delta_bnh
     return dq, dk, dv
