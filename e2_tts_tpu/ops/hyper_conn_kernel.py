@@ -451,13 +451,121 @@ def _width_bwd_core(rs, gb0_ref, gc_ref, gb_ref, sa_ref, aw_ref,
     return g_rs
 
 
+def _width_bwd_core_tall(rs, gb0_ref, gc_ref, gb_ref, sa_ref, aw_ref,
+                         scales_ref, gsa_ref, gaw_ref, gscales_ref,
+                         num_streams):
+    """Stream-stacked ('tall') variant of `_width_bwd_core` — the DEFAULT
+    backward core (opt out with E2TTS_HC_TALL=0): the per-stream (T, d)
+    tiles concatenate on SUBLANES into one (s*T, d) tile so the
+    norm/projection chain — rms stat, the n@aw dot, tanh, the g_p@aw^T
+    backprojection, the gaw accumulation and the g_inv rowsum — issues
+    ONCE instead of s times (same element throughput, ~4x fewer op issues
+    and one s*T-row MXU dot instead of s T-row ones). The mix adjoint's
+    pairwise (stream x output) products are inherent to the einsum and
+    stay per-stream slices. Measured on v5e at flagship shape: with-text
+    step 160.68 -> 158.06 ms, loss bit-identical (round-5 BENCH_NOTES)."""
+    s = num_streams
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        gsa_ref[...] = jnp.zeros_like(gsa_ref)
+        gaw_ref[...] = jnp.zeros_like(gaw_ref)
+        gscales_ref[...] = jnp.zeros_like(gscales_ref)
+
+    a_scale = scales_ref[0, 0]
+    b_scale = scales_ref[0, 1]
+
+    dt = rs[0].dtype
+    T, d = rs[0].shape
+    pad_cols = aw_ref.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, pad_cols), 1)
+    scale_row = jnp.where(col == s + 1, b_scale, a_scale)     # (1, pad) f32
+
+    aw = aw_ref[...]                    # (d, pad) dt, beta-folded
+    gb = gb_ref[...]                    # (s, T)
+
+    r_tall = jnp.concatenate(rs, axis=0)                      # (s*T, d) dt
+    r_tall_f32 = r_tall.astype(jnp.float32)
+
+    gms = [gb0_ref[...].astype(jnp.float32)] \
+        + [gc_ref[t].astype(jnp.float32) for t in range(s)]
+
+    # -- forward recompute, one tall pass --
+    sq = jnp.sum(r_tall_f32 * r_tall_f32, axis=-1)            # (s*T,)
+    var = sq / d
+    inv = jax.lax.rsqrt(jnp.clip(var, min=1e-12))
+    var_ok = var > 1e-12
+    n_tall = r_tall * inv[:, None].astype(dt)
+    pa = jax.lax.dot_general(
+        n_tall, aw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (s*T, pad)
+    ta = jnp.tanh(pa)
+    sa_tall = jnp.concatenate(
+        [jnp.broadcast_to(sa_ref[si][None, :], (T, pad_cols))
+         for si in range(s)], axis=0)
+    alpha_tall = (ta * scale_row + sa_tall).astype(dt)
+
+    # -- mix adjoints: pairwise products over per-stream sublane slices --
+    ga_rows = []
+    mix_g_rs = []
+    for si in range(s):
+        sl = slice(si * T, (si + 1) * T)
+        r_f32 = r_tall_f32[sl]
+        gb_s = gb[si].astype(jnp.float32)
+        ga_cols = [jnp.sum(gms[t] * r_f32, axis=-1) for t in range(s + 1)]
+        ga_rows.append(jnp.stack(
+            ga_cols + [gb_s]
+            + [jnp.zeros_like(gb_s)] * (pad_cols - (s + 2)),
+            axis=-1))                                         # (T, pad) f32
+        alpha = alpha_tall[sl]
+        g_r = alpha[:, 0].astype(jnp.float32)[:, None] * gms[0]
+        for t in range(1, s + 1):
+            g_r += alpha[:, t].astype(jnp.float32)[:, None] * gms[t]
+        mix_g_rs.append(g_r)
+    ga_tall = jnp.concatenate(ga_rows, axis=0)                # (s*T, pad)
+
+    # -- both heads at once on the tall (s*T, pad) tile --
+    g_p = ga_tall * scale_row * (1.0 - ta * ta)
+    gt = ga_tall * ta
+    beta_col = col == s + 1
+    g_ascale = jnp.sum(jnp.where(beta_col, 0.0, gt))
+    g_bscale = jnp.sum(jnp.where(beta_col, gt, 0.0))
+    gsa_rows = [jnp.sum(ga_rows[si], axis=0) for si in range(s)]
+
+    g_n = jax.lax.dot_general(
+        g_p.astype(dt), aw, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (s*T, d)
+    gaw_acc = jax.lax.dot_general(
+        n_tall, g_p.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (d, pad)
+
+    # -- rms-norm backward, one tall pass --
+    g_inv = jnp.sum(g_n * r_tall_f32, axis=-1)                # (s*T,)
+    g_sq = jnp.where(var_ok, g_inv * (-0.5) * inv * inv * inv / d, 0.0)
+    g_r_tall = g_n * inv[:, None] + 2.0 * r_tall_f32 * g_sq[:, None]
+
+    g_rs = [mix_g_rs[si] + g_r_tall[si * T:(si + 1) * T] for si in range(s)]
+
+    gsa_ref[...] += jnp.stack(gsa_rows)
+    gaw_ref[...] += gaw_acc
+    gscales_ref[...] += jnp.stack([g_ascale, g_bscale])[None, :]
+    return g_rs
+
+
+_TALL = os.environ.get('E2TTS_HC_TALL', '1') != '0'
+# the save-state kernels keep the per-stream core (state rides (s, T, ...)
+# blocks); the tall knob applies to the default recompute path only
+_BWD_CORE = _width_bwd_core_tall if _TALL else _width_bwd_core
+
+
 def _width_bwd_kernel(r_ref, gb0_ref, gcar_ref, gb_ref, sa_ref,
                       aw_ref, scales_ref, gr_ref, gsa_ref,
                       gaw_ref, gscales_ref, *, num_streams):
     rs = [r_ref[si] for si in range(num_streams)]
-    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref,
-                           aw_ref, scales_ref, gsa_ref,
-                           gaw_ref, gscales_ref, num_streams)
+    g_rs = _BWD_CORE(rs, gb0_ref, gcar_ref, gb_ref, sa_ref,
+                     aw_ref, scales_ref, gsa_ref,
+                     gaw_ref, gscales_ref, num_streams)
     for si in range(num_streams):
         gr_ref[si] = g_rs[si].astype(gr_ref.dtype)
 
@@ -501,9 +609,9 @@ def _width_fused_bwd_kernel(carried_ref, branch_ref, betaT_ref, gb0_ref,
     recomputed in VMEM, then the shared adjoint core + chain-rule split."""
     s = num_streams
     rs = _load_fused_rs(carried_ref, branch_ref, betaT_ref, s)
-    g_rs = _width_bwd_core(rs, gb0_ref, gcar_ref, gb_ref, sa_ref,
-                           aw_ref, scales_ref, gsa_ref,
-                           gaw_ref, gscales_ref, s)
+    g_rs = _BWD_CORE(rs, gb0_ref, gcar_ref, gb_ref, sa_ref,
+                     aw_ref, scales_ref, gsa_ref,
+                     gaw_ref, gscales_ref, s)
     _fused_bwd_epilogue(g_rs, branch_ref, betaT_ref, gc_ref, gbr_ref,
                         gbT_ref, s)
 
