@@ -15,7 +15,7 @@ a = jax.random.normal(jax.random.key($i), (257, 129), dtype=jnp.bfloat16)
 print('health ok:', float((jnp.sin(a * $i) @ a.T).sum()))" >> "$LOG" 2>&1; then
     echo "$(date -u) TPU BACK — running runbook" >> "$LOG"
     touch /tmp/tpu_runbook_running
-    bash scripts/_tpu_return.sh >> /tmp/tpu_runbook.log 2>&1
+    bash scripts/_tpu_return_r5.sh >> /tmp/tpu_runbook.log 2>&1
     rc=$?
     rm -f /tmp/tpu_runbook_running
     echo "$(date -u) runbook exit rc=$rc" >> "$LOG"
