@@ -31,6 +31,7 @@ at 1/4 rate).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1194,6 +1195,66 @@ def _seg_reduce_matrix_np(heads: int, dim_head: int):
     return e
 
 
+def _delta_kernel(o_ref, do_ref, seg_ref, out_ref):
+    """delta_bnh block: rowsum(do * o) per packed head, one VMEM pass.
+    The lane contraction rides the MXU via the 0/1 segment matrix; rows of
+    a ragged tail block compute garbage that the out-of-bounds write drops
+    (the lane dot never mixes rows)."""
+    prod = o_ref[0].astype(jnp.float32) * do_ref[0].astype(jnp.float32)
+    out_ref[0] = jax.lax.dot_general(
+        prod, seg_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _delta_bnh_pallas(o, do, heads):
+    """(b, n, h) f32 ``rowsum(do * o)`` per head, fused: reads o/do bf16
+    once and writes the tiny (b, n, h) result directly — no (b, n, D) f32
+    product materialization and no lane-width-``h`` XLA GEMM (both layout
+    pathologies, BENCH_NOTES r4/r5). Oracle: the `_delta_bnh_xla` pre-pass;
+    select with ``E2TTS_FLASH_DELTA=pallas`` (default xla until the kernel
+    is profiler-measured on hardware)."""
+    b, n, D = o.shape
+    # ~18 B per (row, lane) element: bf16 o/do windows + their f32 casts +
+    # the f32 product; divisor blocks preferred but a ragged tail is safe
+    cap = max(8, (10 * 2 ** 20) // (18 * D) // 8 * 8)
+    block = min(_blocks(n)[0], cap)
+    seg = jnp.asarray(_seg_reduce_matrix_np(heads, D // heads))
+    return pl.pallas_call(
+        _delta_kernel,
+        grid=(b, -(-n // block)),
+        in_specs=[
+            pl.BlockSpec((1, block, D), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, D), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block, heads), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, heads), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel')),
+        interpret=_INTERPRET,
+    )(o, do, seg)
+
+
+def _delta_bnh_xla(o, do, heads):
+    """XLA delta pre-pass (the historical form and the parity oracle)."""
+    b, n, D = o.shape
+    prod = (do.astype(jnp.float32) * o.astype(jnp.float32))     # (b, n, D)
+    return jax.lax.dot_general(
+        prod, jnp.asarray(_seg_reduce_matrix_np(heads, D // heads)),
+        (((2,), (0,)), ((), ())))                               # (b, n, h)
+
+
+def _delta_bnh(o, do, heads):
+    if (os.environ.get('E2TTS_FLASH_DELTA', 'xla') == 'pallas'
+            and (jax.default_backend() == 'tpu' or _INTERPRET)):
+        return _delta_bnh_pallas(o, do, heads)
+    return _delta_bnh_xla(o, do, heads)
+
+
 def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
                            softclamp_value, dropout_rate, gate=None,
                            return_delta_bnh=False):
@@ -1210,10 +1271,7 @@ def _flash_packed_backward(q, k, v, bias, seed, o, lse, g, heads, scale,
     # consumes it lane-wise (all heads per block, extracted by global head
     # index); the legacy (b*h, n, 1) sublane transpose ran as a pathological
     # 8-lane strided copy on XLA (~2.3 ms/step at flagship shape, NL=4).
-    prod = (g.astype(jnp.float32) * o.astype(jnp.float32))   # (b, n, D)
-    delta_bnh = jax.lax.dot_general(
-        prod, jnp.asarray(_seg_reduce_matrix_np(heads, dh)),
-        (((2,), (0,)), ((), ())))                            # (b, n, h)
+    delta_bnh = _delta_bnh(o, g, heads)                      # (b, n, h)
 
     nq_blocks = -(-n // block)
     nk_blocks = -(-n // block)

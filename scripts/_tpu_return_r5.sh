@@ -28,4 +28,16 @@ BENCH_DEADLINE_S=3600 timeout 3700 python bench.py || {
   exit 1; }
 
 # 3. confirm the warm bench lands inside the driver budget
-timeout 900 python bench.py
+timeout 900 python bench.py || exit 1
+
+# 4. A/B the Pallas delta pre-kernel (E2TTS_FLASH_DELTA, default xla —
+# unmeasured on hardware as of 2026-08-20). Results land in
+# BENCH_DELTA_AB.txt for the next session to act on; failures here must
+# not fail the runbook (the knob is off by default).
+{
+  echo "== delta A/B $(date -u) ==";
+  echo "-- xla (default) --";
+  timeout 1800 python scripts/_step_device.py;
+  echo "-- pallas --";
+  E2TTS_FLASH_DELTA=pallas timeout 1800 python scripts/_step_device.py;
+} >> BENCH_DELTA_AB.txt 2>&1 || true

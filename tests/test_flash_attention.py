@@ -323,3 +323,45 @@ def test_apply_rotary_packed_matches_bhnd():
     ref = ref.transpose(0, 2, 1, 3).reshape(b, n, D)
     np.testing.assert_allclose(np.asarray(apply_rotary_packed(t, fr)),
                                np.asarray(ref), atol=0)
+
+
+@pytest.mark.parametrize('b,h,n,dh', [
+    (2, 8, 256, 64),     # flagship head geometry, divisor blocks
+    (1, 8, 200, 64),     # ragged tail block (200 = 128 + 72)
+    (1, 16, 128, 64),    # D = 1024
+])
+def test_delta_pallas_matches_xla(b, h, n, dh):
+    """The fused Pallas delta pre-kernel (E2TTS_FLASH_DELTA=pallas) must
+    reproduce the XLA segment-matmul pre-pass: rowsum(do * o) per packed
+    head, f32, (b, n, h)."""
+    D = h * dh
+    ks = jax.random.split(jax.random.key(3), 2)
+    o = jax.random.normal(ks[0], (b, n, D), dtype=jnp.bfloat16)
+    do = jax.random.normal(ks[1], (b, n, D), dtype=jnp.bfloat16)
+    ours = fa._delta_bnh_pallas(o, do, h)
+    assert ours.shape == (b, n, h) and ours.dtype == jnp.float32
+    ref = fa._delta_bnh_xla(o, do, h)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_delta_backend_dispatch_end_to_end(monkeypatch):
+    """Gated packed bwd (the delta consumer AND the gate-logit grad source)
+    is invariant to the delta backend knob."""
+    b, h, n, dh = 1, 8, 200, 16
+    qp, kp, vp = make_packed(b, h, n, dh, seed=5)
+    logits = jax.random.normal(jax.random.key(9), (b, n, h))
+    mask = jnp.ones((b, n), dtype=bool).at[0, 180:].set(False)
+
+    def loss(q, k, v, z):
+        o = fa.flash_attention_packed(q, k, v, mask, heads=h, gate_logits=z,
+                                      softclamp_value=50.0)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    monkeypatch.setenv('E2TTS_FLASH_DELTA', 'xla')
+    g_xla = jax.grad(loss, argnums=(0, 1, 2, 3))(qp, kp, vp, logits)
+    monkeypatch.setenv('E2TTS_FLASH_DELTA', 'pallas')
+    g_pal = jax.grad(loss, argnums=(0, 1, 2, 3))(qp, kp, vp, logits)
+    for a, r in zip(g_pal, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=1e-5, rtol=1e-5)
